@@ -1,0 +1,105 @@
+"""L4 public API: bytes-in/bytes-out codec entry points.
+
+Backend dispatch follows the reference's swappable-command-var test seam
+(SURVEY.md §4.1): every entry point routes through a registry of
+interchangeable backends ("oracle" pure-Python, "native" C++, "jnp"
+XLA, "pallas" TPU kernels), selectable per call or via
+SNAPPY_TPU_BACKEND.  All backends are bit-compatible on decode and
+validated against the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+_BACKENDS: dict[str, dict[str, Callable]] = {}
+
+
+def register_backend(name: str, **fns: Callable) -> None:
+    _BACKENDS.setdefault(name, {}).update(fns)
+
+
+def available_backends() -> list[str]:
+    _ensure_default_backends()
+    return sorted(_BACKENDS)
+
+
+def _ensure_default_backends() -> None:
+    if "oracle" not in _BACKENDS:
+        from snappy_tpu.spec import framing, reference
+
+        register_backend(
+            "oracle",
+            compress=reference.compress,
+            decompress=reference.decompress,
+            compress_framed=framing.compress_framed,
+            decompress_framed=framing.decompress_framed,
+        )
+    if "native" not in _BACKENDS:
+        try:
+            from snappy_tpu import native
+
+            if native.available():
+                register_backend(
+                    "native",
+                    compress=native.compress,
+                    decompress=native.decompress,
+                    compress_framed=native.compress_framed,
+                    decompress_framed=native.decompress_framed,
+                )
+        except Exception:  # pragma: no cover - native build is optional
+            pass
+    if "jnp" not in _BACKENDS:
+        try:
+            from snappy_tpu.runtime import device_codec
+
+            register_backend(
+                "jnp",
+                compress=device_codec.compress,
+                decompress=device_codec.decompress,
+                compress_framed=device_codec.compress_framed,
+                decompress_framed=device_codec.decompress_framed,
+            )
+        except Exception:  # pragma: no cover - jax is optional at import
+            pass
+
+
+_PREFERENCE = ("native", "oracle")
+
+
+def _resolve(op: str, backend: str | None) -> Callable:
+    _ensure_default_backends()
+    name = backend or os.environ.get("SNAPPY_TPU_BACKEND") or "auto"
+    if name != "auto":
+        try:
+            return _BACKENDS[name][op]
+        except KeyError:
+            raise ValueError(
+                f"backend {name!r} does not provide {op!r}; available: "
+                f"{sorted(b for b, ops in _BACKENDS.items() if op in ops)}"
+            ) from None
+    for cand in _PREFERENCE:
+        if cand in _BACKENDS and op in _BACKENDS[cand]:
+            return _BACKENDS[cand][op]
+    raise RuntimeError(f"no backend provides {op!r}")
+
+
+def compress(data: bytes, *, backend: str | None = None) -> bytes:
+    """Compress bytes into the raw Snappy block format."""
+    return _resolve("compress", backend)(data)
+
+
+def decompress(data: bytes, *, backend: str | None = None) -> bytes:
+    """Decompress a raw Snappy block-format stream."""
+    return _resolve("decompress", backend)(data)
+
+
+def compress_framed(data: bytes, *, backend: str | None = None) -> bytes:
+    """Compress bytes into the framed (.sz) stream format."""
+    return _resolve("compress_framed", backend)(data)
+
+
+def decompress_framed(data: bytes, *, backend: str | None = None) -> bytes:
+    """Decompress a framed (.sz) stream."""
+    return _resolve("decompress_framed", backend)(data)
