@@ -36,6 +36,17 @@ def _ensure_default_backends() -> None:
             compress_framed=framing.compress_framed,
             decompress_framed=framing.decompress_framed,
         )
+    if "np" not in _BACKENDS:
+        from snappy_tpu.kernels import encode_np
+        from snappy_tpu.spec import framing, reference
+
+        register_backend(
+            "np",
+            compress=encode_np.compress,
+            decompress=reference.decompress,
+            compress_framed=lambda data, **kw: framing.compress_framed(data, **kw),
+            decompress_framed=framing.decompress_framed,
+        )
     if "native" not in _BACKENDS:
         try:
             from snappy_tpu import native

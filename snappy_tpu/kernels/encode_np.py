@@ -1,0 +1,323 @@
+"""Parallel-friendly Snappy block encoder — numpy reference implementation.
+
+This module defines the ALGORITHM CONTRACT for the device encoder (jnp /
+Pallas): every step here is a vectorizable primitive (sort, scan, gather,
+scatter), so the jnp kernel mirrors it 1:1 and is tested for identical
+output.  The design (validated against the reference codec on corpora +
+fuzz, see tests/test_encode_np.py):
+
+  match finding
+    - 4-gram values at every position; stable sort by (value, position)
+    - three candidates per position: the two nearest previous occurrences
+      and the FIRST occurrence of the 4-gram in the block.  The first-
+      occurrence candidate is what keeps long-period matches visible at
+      run-interior positions (the reference's sparse hash table holds
+      first-seen positions across saturated runs; nearest-occurrence
+      alone would hide them and lose ~1 byte per run boundary).
+    - unbounded match lengths via Rabin-Karp prefix hashes + vectorized
+      binary search.  Hash equality is only a candidate filter: every
+      emitted copy is EXACTLY verified afterwards (one vectorized
+      gather-compare over the whole block); on the ~2^-64 chance of a
+      collision the block falls back to the oracle encoder.
+
+  parse
+    - greedy and lazy (defer if the next position matches further)
+      successor walks; literal runs are the gaps between taken copies
+    - a pruning pass drops isolated copies that cost more than merging
+      the flanking literals (profitable on incompressible data where a
+      stray 4-byte match would split a long literal's header)
+    - per block, the smallest of the strategy emissions wins
+
+  emission
+    - the reference's exact chopping rules (64-byte chops, the 60/"leave
+      4..7" rule, copy1 vs copy2 selection), so compressed size is <= the
+      reference's on every tested input (BASELINE north star).
+
+Compressed streams are decodable by any Snappy decoder; decompressed
+round-trip parity is bit-for-bit (guaranteed by exact verification).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from snappy_tpu.errors import TooLargeError
+from snappy_tpu.spec.format import (
+    MAX_BLOCK_SIZE,
+    MAX_UNCOMPRESSED_LEN,
+    put_uvarint,
+)
+from snappy_tpu.spec import reference as _oracle
+
+__all__ = ["compress", "encode_block_np", "find_matches", "ParseResult"]
+
+_R1 = np.uint64(0x100000001B3)  # FNV-64 prime (odd => invertible mod 2^64)
+
+
+def _lit_cost(r: int) -> int:
+    if r == 0:
+        return 0
+    n = r - 1
+    return r + (1 if n < 60 else 2 if n < 256 else 3 if n < 65536 else 4)
+
+
+def _copy_cost(offset: int, length: int) -> int:
+    c = 0
+    while length >= 68:
+        c += 3
+        length -= 64
+    if length > 64:
+        c += 3
+        length -= 60
+    return c + (3 if (length >= 12 or offset >= 2048) else 2)
+
+
+def find_matches(block: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position best candidate and (hash-certified) match length.
+
+    Returns (cand, ml) arrays of length n; ml[p] == 0 where no candidate,
+    else >= 4.  Match lengths are unbounded (up to n - p).
+    """
+    b = (
+        np.frombuffer(block, dtype=np.uint8)
+        if not isinstance(block, np.ndarray)
+        else block.astype(np.uint8, copy=False)
+    ).astype(np.uint32)
+    n = len(b)
+    cand_full = np.full(n, -1, dtype=np.int64)
+    ml_full = np.zeros(n, dtype=np.int64)
+    if n < 4:
+        return cand_full, ml_full
+    npos = n - 3
+    vals = (
+        b[0:npos]
+        | (b[1 : npos + 1] << 8)
+        | (b[2 : npos + 2] << 16)
+        | (b[3 : npos + 3] << 24)
+    )
+    order = np.argsort(vals, kind="stable")
+    sv = vals[order]
+    same1 = np.zeros(npos, dtype=bool)
+    same1[1:] = sv[1:] == sv[:-1]
+    same2 = np.zeros(npos, dtype=bool)
+    same2[2:] = sv[2:] == sv[:-2]
+    # first occurrence of each sorted group, propagated to members
+    idx = np.arange(npos)
+    grp_start_idx = np.where(~same1, idx, 0)
+    grp_start_idx = np.maximum.accumulate(grp_start_idx)
+    first_sorted = order[grp_start_idx]
+    c1s = np.where(same1, np.concatenate(([0], order))[:npos], -1)
+    c2s = np.where(same2, np.concatenate(([0, 0], order))[:npos], -1)
+    c3s = np.where(same1, first_sorted, -1)
+    cand1 = np.full(npos, -1, dtype=np.int64)
+    cand1[order] = c1s
+    cand2 = np.full(npos, -1, dtype=np.int64)
+    cand2[order] = c2s
+    cand3 = np.full(npos, -1, dtype=np.int64)
+    cand3[order] = c3s
+
+    # Rabin-Karp prefix hashes, computed by scan:
+    # H[i] = sum_{j<i} b[j]*R^{i-1-j} = Rinv^{n-i} * cumsum(b[j]*R^{n-1-j})
+    b64 = b.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        Rpow = np.empty(n + 1, dtype=np.uint64)
+        Rpow[0] = 1
+        np.multiply.accumulate(np.full(n, _R1, dtype=np.uint64), out=Rpow[1:])
+        x = _R1
+        for _ in range(6):  # Newton iteration: inverse of R mod 2^64
+            x = x * (np.uint64(2) - _R1 * x)
+        Rinvpow = np.empty(n + 1, dtype=np.uint64)
+        Rinvpow[0] = 1
+        np.multiply.accumulate(np.full(n, x, dtype=np.uint64), out=Rinvpow[1:])
+        S = np.zeros(n + 1, dtype=np.uint64)
+        S[1:] = np.cumsum(b64 * Rpow[n - 1 :: -1])
+        H = S * Rinvpow[n::-1]
+
+    def lcp(p: np.ndarray, c: np.ndarray) -> np.ndarray:
+        maxm = n - p
+        lo = np.full(p.shape, 4, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for k in range(16, -1, -1):
+                trial = lo + (1 << k)
+                ok = trial <= maxm
+                t = np.minimum(trial, maxm)
+                eq = ((H[p + t] - H[p] * Rpow[t]) == (H[c + t] - H[c] * Rpow[t])) & ok
+                lo = np.where(eq, trial, lo)
+        return lo
+
+    best_c = cand_full[:npos]
+    best_l = ml_full[:npos]
+    for candk in (cand1, cand2, cand3):
+        valid = candk >= 0
+        if not valid.any():
+            continue
+        vidx = np.where(valid)[0]
+        mlk = lcp(vidx, candk[vidx])
+        better = mlk > best_l[vidx]
+        tie = (mlk == best_l[vidx]) & (candk[vidx] > best_c[vidx])
+        upd = better | tie
+        uidx = vidx[upd]
+        best_c[uidx] = candk[vidx][upd]
+        best_l[uidx] = mlk[upd]
+    ml_full[:npos] = np.where(best_c >= 0, best_l, 0)
+    return cand_full, ml_full
+
+
+class ParseResult:
+    """Element list: (kind, a, b) with kind 0=literal(src_start, len),
+    1=copy(offset, len)."""
+
+    __slots__ = ("elems",)
+
+    def __init__(self, elems: list[tuple[int, int, int]]):
+        self.elems = elems
+
+    def size(self) -> int:
+        return sum(
+            _lit_cost(b) if k == 0 else _copy_cost(a, b) for (k, a, b) in self.elems
+        )
+
+
+def _parse(n: int, cand: np.ndarray, ml: np.ndarray, lazy: bool) -> ParseResult:
+    elems: list[tuple[int, int, int]] = []
+    next_emit = 0
+    p = 1
+    while p < n:
+        l = int(ml[p])
+        if l >= 4:
+            if lazy and p + 1 < n and ml[p + 1] > l + 1:
+                p += 1
+                continue
+            if p > next_emit:
+                elems.append((0, next_emit, p - next_emit))
+            elems.append((1, int(p - cand[p]), l))
+            p += l
+            next_emit = p
+        else:
+            p += 1
+    if next_emit < n:
+        elems.append((0, next_emit, n - next_emit))
+    return ParseResult(elems)
+
+
+def _prune(pr: ParseResult) -> ParseResult:
+    """Drop copies that cost more than merging the flanking literals.
+    Only copies not adjacent to other copies are considered; two passes
+    reach a fixpoint on real data."""
+    elems = pr.elems
+    for _ in range(2):
+        out: list[tuple[int, int, int]] = []
+        i = 0
+        changed = False
+        while i < len(elems):
+            e = elems[i]
+            if e[0] == 1:
+                prev_lit = out[-1] if out and out[-1][0] == 0 else None
+                nxt = elems[i + 1] if i + 1 < len(elems) else None
+                next_lit = nxt if nxt is not None and nxt[0] == 0 else None
+                prev_is_copy = bool(out) and out[-1][0] == 1
+                next_is_copy = nxt is not None and nxt[0] == 1
+                if not prev_is_copy and not next_is_copy:
+                    a = prev_lit[2] if prev_lit else 0
+                    b = next_lit[2] if next_lit else 0
+                    off, l = e[1], e[2]
+                    if _lit_cost(a + l + b) < (
+                        _lit_cost(a) + _copy_cost(off, l) + _lit_cost(b)
+                    ):
+                        changed = True
+                        start = prev_lit[1] if prev_lit else _lit_start_before(out, e)
+                        if prev_lit:
+                            out.pop()
+                        out.append((0, start, a + l + b))
+                        i += 2 if next_lit else 1
+                        continue
+            if e[0] == 0 and out and out[-1][0] == 0:
+                pl = out.pop()
+                out.append((0, pl[1], pl[2] + e[2]))
+            else:
+                out.append(e)
+            i += 1
+        elems = out
+        if not changed:
+            break
+    return ParseResult(elems)
+
+
+def _lit_start_before(out: list, e: tuple) -> int:
+    # Output position where a dropped leading copy's bytes begin: the sum
+    # of all preceding element output lengths (elements cover the block
+    # contiguously, so track via a walk).  Only needed when a copy is the
+    # first element after non-literal context; compute from scratch.
+    pos = 0
+    for k, a, b in out:
+        pos += b
+    return pos
+
+
+def _verify(block_u8: np.ndarray, pr: ParseResult) -> bool:
+    """Exact check that every copy's bytes really match (vectorized)."""
+    n = len(block_u8)
+    pos = 0
+    # Build per-byte offset array for copy-covered bytes, then one compare.
+    offs = np.zeros(n, dtype=np.int64)
+    for k, a, b in pr.elems:
+        if k == 1:
+            offs[pos : pos + b] = a
+        pos += b
+    if pos != n:
+        return False
+    j = np.where(offs > 0)[0]
+    if len(j) == 0:
+        return True
+    src = j - offs[j]
+    if (src < 0).any():
+        return False
+    return bool((block_u8[j] == block_u8[src]).all())
+
+
+def _emit(pr: ParseResult, block: bytes) -> bytes:
+    out = bytearray()
+    for k, a, b in pr.elems:
+        if k == 0:
+            _oracle.emit_literal(out, block[a : a + b])
+        else:
+            _oracle.emit_copy(out, a, b)
+    return bytes(out)
+
+
+def encode_block_np(block: bytes) -> bytes:
+    """Encode one block (<= 64 KiB) with the parallel algorithm."""
+    n = len(block)
+    if n == 0:
+        return b""
+    out = bytearray()
+    if n < 4:
+        # No 4-gram can exist; a literal is the only element.  (Unlike the
+        # go reference's 18-byte cutoff, we match down to 4 bytes — the
+        # margin was an implementation artifact, and C++ snappy compresses
+        # tiny repetitive blocks that the cutoff would store raw.)
+        _oracle.emit_literal(out, block)
+        return bytes(out)
+    block_u8 = np.frombuffer(block, dtype=np.uint8)
+    cand, ml = find_matches(block)
+    best: ParseResult | None = None
+    best_size = None
+    for lazy in (False, True):
+        pr = _prune(_parse(n, cand, ml, lazy))
+        s = pr.size()
+        if best_size is None or s < best_size:
+            best, best_size = pr, s
+    assert best is not None
+    if not _verify(block_u8, best):  # pragma: no cover - hash collision
+        return _oracle.encode_block(block)
+    return _emit(best, block)
+
+
+def compress(src: bytes) -> bytes:
+    """Raw Snappy stream via the parallel algorithm (per-64KiB fragments)."""
+    if len(src) > MAX_UNCOMPRESSED_LEN:
+        raise TooLargeError(len(src))
+    out = bytearray(put_uvarint(len(src)))
+    for pos in range(0, len(src), MAX_BLOCK_SIZE):
+        out += encode_block_np(src[pos : pos + MAX_BLOCK_SIZE])
+    return bytes(out)
