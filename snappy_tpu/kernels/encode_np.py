@@ -202,56 +202,52 @@ def _parse(n: int, cand: np.ndarray, ml: np.ndarray, lazy: bool) -> ParseResult:
 
 def _prune(pr: ParseResult) -> ParseResult:
     """Drop copies that cost more than merging the flanking literals.
-    Only copies not adjacent to other copies are considered; two passes
-    reach a fixpoint on real data."""
+
+    SIMULTANEOUS-DROP semantics (the vectorizable contract shared with
+    the jnp kernel): each pass evaluates every copy against the CURRENT
+    frozen gaps, drops all eligible copies at once, merges literals, and
+    repeats (two passes).  Only copies not adjacent to another copy are
+    eligible, so eligible drops never interact within a pass beyond
+    literal merging."""
     elems = pr.elems
     for _ in range(2):
-        out: list[tuple[int, int, int]] = []
-        i = 0
-        changed = False
-        while i < len(elems):
-            e = elems[i]
-            if e[0] == 1:
-                prev_lit = out[-1] if out and out[-1][0] == 0 else None
-                nxt = elems[i + 1] if i + 1 < len(elems) else None
-                next_lit = nxt if nxt is not None and nxt[0] == 0 else None
-                prev_is_copy = bool(out) and out[-1][0] == 1
-                next_is_copy = nxt is not None and nxt[0] == 1
-                if not prev_is_copy and not next_is_copy:
-                    a = prev_lit[2] if prev_lit else 0
-                    b = next_lit[2] if next_lit else 0
-                    off, l = e[1], e[2]
-                    if _lit_cost(a + l + b) < (
-                        _lit_cost(a) + _copy_cost(off, l) + _lit_cost(b)
-                    ):
-                        changed = True
-                        start = prev_lit[1] if prev_lit else _lit_start_before(out, e)
-                        if prev_lit:
-                            out.pop()
-                        out.append((0, start, a + l + b))
-                        i += 2 if next_lit else 1
-                        continue
-            if e[0] == 0 and out and out[-1][0] == 0:
-                pl = out.pop()
-                out.append((0, pl[1], pl[2] + e[2]))
-            else:
-                out.append(e)
-            i += 1
-        elems = out
-        if not changed:
+        eligible = []
+        for i, e in enumerate(elems):
+            if e[0] != 1:
+                eligible.append(False)
+                continue
+            prev_is_copy = i > 0 and elems[i - 1][0] == 1
+            next_is_copy = i + 1 < len(elems) and elems[i + 1][0] == 1
+            if prev_is_copy or next_is_copy:
+                eligible.append(False)
+                continue
+            a = elems[i - 1][2] if i > 0 else 0
+            b = elems[i + 1][2] if i + 1 < len(elems) else 0
+            off, l = e[1], e[2]
+            eligible.append(
+                _lit_cost(a + l + b) < _lit_cost(a) + _copy_cost(off, l) + _lit_cost(b)
+            )
+        if not any(eligible):
             break
+        # rebuild with drops + literal merging; dropped copies become
+        # literal bytes at their own output position (== source position
+        # in-block, since literals read from the block itself)
+        out: list[tuple[int, int, int]] = []
+        pos = 0
+        for i, e in enumerate(elems):
+            if e[0] == 1 and not eligible[i]:
+                out.append(e)
+                pos += e[2]
+                continue
+            start, length = (e[1], e[2]) if e[0] == 0 else (pos, e[2])
+            if out and out[-1][0] == 0:
+                pl = out.pop()
+                out.append((0, pl[1], pl[2] + length))
+            else:
+                out.append((0, start, length))
+            pos += length
+        elems = out
     return ParseResult(elems)
-
-
-def _lit_start_before(out: list, e: tuple) -> int:
-    # Output position where a dropped leading copy's bytes begin: the sum
-    # of all preceding element output lengths (elements cover the block
-    # contiguously, so track via a walk).  Only needed when a copy is the
-    # first element after non-literal context; compute from scratch.
-    pos = 0
-    for k, a, b in out:
-        pos += b
-    return pos
 
 
 def _verify(block_u8: np.ndarray, pr: ParseResult) -> bool:

@@ -1,0 +1,185 @@
+"""ctypes bindings for the C++ native host codec (L7).
+
+Builds snappy_native.so on first use (g++ is in the base image; no
+pybind11, so the ABI is plain C + ctypes per the environment rules).
+Gracefully degrades: if the toolchain or binary is unavailable,
+available() is False and the api layer simply skips this backend.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from snappy_tpu.errors import (
+    ChecksumError,
+    CorruptError,
+    SnappyError,
+    TooLargeError,
+    UnsupportedError,
+)
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "snappy_native.cpp")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
+_SO = os.path.join(_BUILD_DIR, "snappy_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+SN_OK = 0
+_ERRORS = {
+    -1: CorruptError,
+    -2: TooLargeError,
+    -3: ChecksumError,
+    -4: UnsupportedError,
+    -5: CorruptError,
+}
+
+
+def _raise(code: int):
+    exc = _ERRORS.get(code, SnappyError)
+    if exc is CorruptError:
+        raise CorruptError("native decoder rejected input")
+    if exc is ChecksumError:
+        raise ChecksumError()
+    if exc is UnsupportedError:
+        raise UnsupportedError()
+    if exc is TooLargeError:
+        raise TooLargeError()
+    raise SnappyError(f"native error {code}")
+
+
+def _build() -> str | None:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-pthread", _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        return _SO
+    except Exception:
+        return None
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        so = _SO if os.path.exists(_SO) else _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            if _build() is None:
+                return None
+            lib = ctypes.CDLL(_SO)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.sn_crc32c.restype = ctypes.c_uint32
+        lib.sn_crc32c.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
+        lib.sn_max_compressed_length.restype = ctypes.c_uint64
+        lib.sn_max_compressed_length.argtypes = [ctypes.c_uint64]
+        lib.sn_compress.restype = ctypes.c_int64
+        lib.sn_compress.argtypes = [u8p, ctypes.c_uint64, u8p]
+        lib.sn_uncompressed_length.restype = ctypes.c_int
+        lib.sn_uncompressed_length.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.sn_decompress.restype = ctypes.c_int
+        lib.sn_decompress.argtypes = [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64]
+        lib.sn_compress_framed.restype = ctypes.c_int64
+        lib.sn_compress_framed.argtypes = [
+            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int,
+        ]
+        lib.sn_framed_max_length.restype = ctypes.c_int64
+        lib.sn_framed_max_length.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+        lib.sn_decompress_framed.restype = ctypes.c_int64
+        lib.sn_decompress_framed.argtypes = [
+            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u8p(buf: np.ndarray):
+    return buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _to_arr(data: bytes) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    lib = _load()
+    arr = _to_arr(data)
+    return int(lib.sn_crc32c(_as_u8p(arr), len(data), crc))
+
+
+def compress(data: bytes) -> bytes:
+    lib = _load()
+    src = _to_arr(data)
+    dst = np.empty(int(lib.sn_max_compressed_length(len(data))) + 8, np.uint8)
+    rc = lib.sn_compress(_as_u8p(src), len(data), _as_u8p(dst))
+    if rc < 0:
+        _raise(rc)
+    return dst[:rc].tobytes()
+
+
+def decompress(data: bytes) -> bytes:
+    lib = _load()
+    src = _to_arr(data)
+    want = ctypes.c_uint64(0)
+    hdr = lib.sn_uncompressed_length(_as_u8p(src), len(data), ctypes.byref(want))
+    if hdr < 0:
+        _raise(hdr)
+    dst = np.empty(max(1, want.value), np.uint8)
+    rc = lib.sn_decompress(_as_u8p(src), len(data), _as_u8p(dst), want.value)
+    if rc != SN_OK:
+        _raise(rc)
+    return dst[: want.value].tobytes()
+
+
+def compress_framed(data: bytes, chunk_size: int = 65536, threads: int = 0) -> bytes:
+    lib = _load()
+    src = _to_arr(data)
+    cap = lib.sn_framed_max_length(len(data), chunk_size)
+    if cap < 0:
+        _raise(int(cap))
+    dst = np.empty(int(cap), np.uint8)
+    rc = lib.sn_compress_framed(_as_u8p(src), len(data), _as_u8p(dst), chunk_size, threads)
+    if rc < 0:
+        _raise(int(rc))
+    return dst[:rc].tobytes()
+
+
+def decompress_framed(
+    data: bytes, verify_checksums: bool = True, threads: int = 0
+) -> bytes:
+    lib = _load()
+    src = _to_arr(data)
+    # worst case: all uncompressed chunks
+    cap = max(1, len(data))
+    while True:
+        dst = np.empty(cap, np.uint8)
+        rc = lib.sn_decompress_framed(
+            _as_u8p(src), len(data), _as_u8p(dst), cap,
+            1 if verify_checksums else 0, threads,
+        )
+        if rc == -5 and cap < (1 << 34):  # buffer too small: grow
+            cap *= 4
+            continue
+        if rc < 0:
+            _raise(int(rc))
+        return dst[:rc].tobytes()

@@ -1,0 +1,500 @@
+// snappy_tpu native host codec (L7, SURVEY.md §7.6).
+//
+// Where the reference drives native helpers (cgo islands + shelled-out
+// binaries, SURVEY.md §2.2), this framework is native here: a C++
+// implementation of the reference Snappy block codec (exactly the greedy
+// hash-table emission our L0 oracle defines), hardware CRC-32C
+// (SSE4.2 with a slice-by-8 fallback), and multithreaded framed-stream
+// encode/decode for the host path.  Exposed via a plain C ABI for
+// ctypes binding (no pybind11 in this image).
+//
+// Error codes mirror snappy_tpu.errors (0 ok; negative = error class).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#if defined(__SSE4_2__)
+#include <nmmintrin.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// error codes (keep in sync with snappy_tpu/native/__init__.py)
+enum {
+  SN_OK = 0,
+  SN_ERR_CORRUPT = -1,
+  SN_ERR_TOO_LARGE = -2,
+  SN_ERR_CHECKSUM = -3,
+  SN_ERR_UNSUPPORTED = -4,
+  SN_ERR_BUFFER = -5,
+};
+
+// ---------------------------------------------------------------------
+// CRC-32C
+static uint32_t crc_table[8][256];
+
+static void crc_init_tables() {
+  for (uint32_t n = 0; n < 256; n++) {
+    uint32_t c = n;
+    for (int k = 0; k < 8; k++) c = (c >> 1) ^ (0x82F63B78u & (~((c & 1) - 1)));
+    crc_table[0][n] = c;
+  }
+  for (uint32_t n = 0; n < 256; n++) {
+    uint32_t c = crc_table[0][n];
+    for (int k = 1; k < 8; k++) {
+      c = crc_table[0][c & 0xff] ^ (c >> 8);
+      crc_table[k][n] = c;
+    }
+  }
+}
+
+static struct CrcInit {
+  CrcInit() { crc_init_tables(); }
+} crc_init_once;
+
+uint32_t sn_crc32c(const uint8_t* data, uint64_t n, uint32_t crc) {
+  uint64_t i = 0;
+  crc = ~crc;
+#if defined(__SSE4_2__)
+  uint64_t c = crc;
+  while (i + 8 <= n) {
+    uint64_t word;
+    memcpy(&word, data + i, 8);
+    c = _mm_crc32_u64(c, word);
+    i += 8;
+  }
+  while (i < n) c = _mm_crc32_u8((uint32_t)c, data[i++]);
+  return ~(uint32_t)c;
+#else
+  while (i + 8 <= n) {
+    uint32_t lo, hi;
+    memcpy(&lo, data + i, 4);
+    memcpy(&hi, data + i + 4, 4);
+    uint32_t c0 = crc ^ lo;
+    crc = crc_table[7][c0 & 0xff] ^ crc_table[6][(c0 >> 8) & 0xff] ^
+          crc_table[5][(c0 >> 16) & 0xff] ^ crc_table[4][c0 >> 24] ^
+          crc_table[3][hi & 0xff] ^ crc_table[2][(hi >> 8) & 0xff] ^
+          crc_table[1][(hi >> 16) & 0xff] ^ crc_table[0][hi >> 24];
+    i += 8;
+  }
+  while (i < n) crc = crc_table[0][(crc ^ data[i++]) & 0xff] ^ (crc >> 8);
+  return ~crc;
+#endif
+}
+
+static inline uint32_t mask_crc(uint32_t c) {
+  return (uint32_t)(((c >> 15) | (c << 17)) + 0xa282ead8u);
+}
+
+// ---------------------------------------------------------------------
+// block format helpers
+
+static inline uint32_t load32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;  // little-endian hosts only (x86/arm64)
+}
+static inline uint64_t load64(const uint8_t* p) {
+  uint64_t v;
+  memcpy(&v, p, 8);
+  return v;
+}
+
+static const int kMaxBlockSize = 65536;
+static const int kInputMargin = 15;
+static const int kMinNonLiteralBlockSize = 18;
+
+static inline uint32_t hash32(uint32_t u, uint32_t shift) {
+  return (u * 0x1e35a7bdu) >> shift;
+}
+
+static uint8_t* emit_literal(uint8_t* dst, const uint8_t* lit, int len) {
+  int n = len - 1;
+  if (n < 60) {
+    *dst++ = (uint8_t)(n << 2);
+  } else if (n < (1 << 8)) {
+    *dst++ = 60 << 2;
+    *dst++ = (uint8_t)n;
+  } else if (n < (1 << 16)) {
+    *dst++ = 61 << 2;
+    *dst++ = (uint8_t)n;
+    *dst++ = (uint8_t)(n >> 8);
+  } else if (n < (1 << 24)) {
+    *dst++ = 62 << 2;
+    *dst++ = (uint8_t)n;
+    *dst++ = (uint8_t)(n >> 8);
+    *dst++ = (uint8_t)(n >> 16);
+  } else {
+    *dst++ = 63 << 2;
+    *dst++ = (uint8_t)n;
+    *dst++ = (uint8_t)(n >> 8);
+    *dst++ = (uint8_t)(n >> 16);
+    *dst++ = (uint8_t)((uint32_t)n >> 24);
+  }
+  memcpy(dst, lit, (size_t)len);
+  return dst + len;
+}
+
+static uint8_t* emit_copy(uint8_t* dst, int offset, int length) {
+  while (length >= 68) {
+    *dst++ = (63 << 2) | 2;
+    *dst++ = (uint8_t)offset;
+    *dst++ = (uint8_t)(offset >> 8);
+    length -= 64;
+  }
+  if (length > 64) {
+    *dst++ = (59 << 2) | 2;
+    *dst++ = (uint8_t)offset;
+    *dst++ = (uint8_t)(offset >> 8);
+    length -= 60;
+  }
+  if (length >= 12 || offset >= 2048) {
+    *dst++ = (uint8_t)(((length - 1) << 2) | 2);
+    *dst++ = (uint8_t)offset;
+    *dst++ = (uint8_t)(offset >> 8);
+  } else {
+    *dst++ = (uint8_t)(((offset >> 8) << 5) | ((length - 4) << 2) | 1);
+    *dst++ = (uint8_t)offset;
+  }
+  return dst;
+}
+
+// Reference greedy hash-table encoder for one block (the exact algorithm
+// of our L0 oracle, spec/reference.py encode_block).
+static uint8_t* encode_block(uint8_t* dst, const uint8_t* src, int len) {
+  if (len < kMinNonLiteralBlockSize) return emit_literal(dst, src, len);
+
+  uint32_t shift = 32 - 8;
+  int table_size = 1 << 8;
+  while (table_size < (1 << 14) && table_size < len) {
+    shift--;
+    table_size *= 2;
+  }
+  std::vector<uint16_t> table((size_t)table_size, 0);
+
+  int s_limit = len - kInputMargin;
+  int next_emit = 0;
+  int s = 1;
+  uint32_t next_hash = hash32(load32(src + s), shift);
+
+  for (;;) {
+    int skip = 32;
+    int next_s = s;
+    int candidate = 0;
+    for (;;) {
+      s = next_s;
+      int bytes_between = skip >> 5;
+      next_s = s + bytes_between;
+      skip += bytes_between;
+      if (next_s > s_limit) goto emit_remainder;
+      candidate = table[next_hash];
+      table[next_hash] = (uint16_t)s;
+      next_hash = hash32(load32(src + next_s), shift);
+      if (load32(src + s) == load32(src + candidate)) break;
+    }
+    dst = emit_literal(dst, src + next_emit, s - next_emit);
+
+    for (;;) {
+      int base = s;
+      s += 4;
+      int i = candidate + 4;
+      while (s < len && src[i] == src[s]) {
+        i++;
+        s++;
+      }
+      dst = emit_copy(dst, base - candidate, s - base);
+      next_emit = s;
+      if (s >= s_limit) goto emit_remainder;
+      uint64_t x = load64(src + s - 1);
+      uint32_t prev_hash = hash32((uint32_t)x, shift);
+      table[prev_hash] = (uint16_t)(s - 1);
+      uint32_t curr_hash = hash32((uint32_t)(x >> 8), shift);
+      candidate = table[curr_hash];
+      table[curr_hash] = (uint16_t)s;
+      if ((uint32_t)(x >> 8) != load32(src + candidate)) {
+        next_hash = hash32((uint32_t)(x >> 16), shift);
+        s++;
+        break;
+      }
+    }
+  }
+emit_remainder:
+  if (next_emit < len) dst = emit_literal(dst, src + next_emit, len - next_emit);
+  return dst;
+}
+
+uint64_t sn_max_compressed_length(uint64_t n) { return 32 + n + n / 6; }
+
+static uint8_t* put_uvarint(uint8_t* dst, uint64_t v) {
+  while (v >= 0x80) {
+    *dst++ = (uint8_t)(v) | 0x80;
+    v >>= 7;
+  }
+  *dst++ = (uint8_t)v;
+  return dst;
+}
+
+int64_t sn_compress(const uint8_t* src, uint64_t n, uint8_t* dst) {
+  if (n > 0xffffffffull) return SN_ERR_TOO_LARGE;
+  uint8_t* d = put_uvarint(dst, n);
+  uint64_t pos = 0;
+  while (pos < n) {
+    int blk = (int)((n - pos < (uint64_t)kMaxBlockSize) ? (n - pos) : kMaxBlockSize);
+    d = encode_block(d, src + pos, blk);
+    pos += blk;
+  }
+  return (int64_t)(d - dst);
+}
+
+int sn_uncompressed_length(const uint8_t* src, uint64_t n, uint64_t* out) {
+  uint64_t v = 0;
+  int shift = 0;
+  for (int i = 0; i < 5; i++) {
+    if ((uint64_t)i >= n) return SN_ERR_CORRUPT;
+    uint8_t b = src[i];
+    v |= (uint64_t)(b & 0x7f) << shift;
+    if (!(b & 0x80)) {
+      if (v > 0xffffffffull) return SN_ERR_TOO_LARGE;
+      *out = v;
+      return i + 1;  // header length
+    }
+    shift += 7;
+  }
+  return SN_ERR_CORRUPT;
+}
+
+// Strict validating decoder (reference error surface).
+int sn_decode_block(const uint8_t* src, uint64_t n, uint64_t s, uint8_t* dst,
+                    uint64_t dst_len) {
+  uint64_t d = 0;
+  while (s < n) {
+    uint32_t tag = src[s] & 3;
+    uint64_t length, offset;
+    if (tag == 0) {
+      uint32_t x = src[s] >> 2;
+      if (x < 60) {
+        s += 1;
+      } else if (x == 60) {
+        s += 2;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 1];
+      } else if (x == 61) {
+        s += 3;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 2] | ((uint32_t)src[s - 1] << 8);
+      } else if (x == 62) {
+        s += 4;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 3] | ((uint32_t)src[s - 2] << 8) | ((uint32_t)src[s - 1] << 16);
+      } else {
+        s += 5;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 4] | ((uint32_t)src[s - 3] << 8) | ((uint32_t)src[s - 2] << 16) |
+            ((uint32_t)src[s - 1] << 24);
+      }
+      length = (uint64_t)x + 1;
+      if (length > dst_len - d) return SN_ERR_CORRUPT;
+      if (length > n - s) return SN_ERR_CORRUPT;
+      memcpy(dst + d, src + s, length);
+      d += length;
+      s += length;
+      continue;
+    } else if (tag == 1) {
+      s += 2;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 4 + ((src[s - 2] >> 2) & 7);
+      offset = ((uint64_t)(src[s - 2] & 0xe0) << 3) | src[s - 1];
+    } else if (tag == 2) {
+      s += 3;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 3] >> 2);
+      offset = src[s - 2] | ((uint64_t)src[s - 1] << 8);
+    } else {
+      s += 5;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 5] >> 2);
+      offset = src[s - 4] | ((uint64_t)src[s - 3] << 8) | ((uint64_t)src[s - 2] << 16) |
+               ((uint64_t)src[s - 1] << 24);
+    }
+    if (offset == 0 || d < offset) return SN_ERR_CORRUPT;
+    if (length > dst_len - d) return SN_ERR_CORRUPT;
+    // overlap-safe byte copy (run semantics)
+    if (offset >= 8 && length <= offset) {
+      memcpy(dst + d, dst + d - offset, length);
+      d += length;
+    } else {
+      for (uint64_t k = 0; k < length; k++, d++) dst[d] = dst[d - offset];
+    }
+  }
+  if (d != dst_len) return SN_ERR_CORRUPT;
+  return SN_OK;
+}
+
+int sn_decompress(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t dst_len) {
+  uint64_t want = 0;
+  int hdr = sn_uncompressed_length(src, n, &want);
+  if (hdr < 0) return hdr;
+  if (want != dst_len) return SN_ERR_BUFFER;
+  return sn_decode_block(src, n, (uint64_t)hdr, dst, dst_len);
+}
+
+// ---------------------------------------------------------------------
+// framed format (multithreaded over chunks)
+
+static const uint8_t kStreamId[10] = {0xff, 0x06, 0x00, 0x00,
+                                      's',  'N',  'a',  'P', 'p', 'Y'};
+
+int64_t sn_framed_max_length(uint64_t n, uint64_t chunk) {
+  if (chunk == 0 || chunk > 65536) return SN_ERR_BUFFER;
+  uint64_t chunks = (n + chunk - 1) / chunk;
+  return 10 + (uint64_t)(n + chunks * (8 + 8) + 64);
+}
+
+int64_t sn_compress_framed(const uint8_t* src, uint64_t n, uint8_t* dst,
+                           uint64_t chunk_size, int threads) {
+  if (chunk_size == 0 || chunk_size > 65536) return SN_ERR_BUFFER;
+  uint64_t nchunks = n ? (n + chunk_size - 1) / chunk_size : 0;
+  memcpy(dst, kStreamId, 10);
+  if (!nchunks) return 10;
+
+  // worst case per chunk body: 8 hdr + max_compressed(chunk)
+  uint64_t per = 8 + sn_max_compressed_length(chunk_size);
+  std::vector<uint64_t> out_len(nchunks, 0);
+  std::vector<uint8_t> scratch(per * nchunks);
+
+  int nt = threads > 0 ? threads : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  std::atomic<uint64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      uint64_t c = next.fetch_add(1);
+      if (c >= nchunks) break;
+      uint64_t off = c * chunk_size;
+      uint64_t len = (n - off < chunk_size) ? (n - off) : chunk_size;
+      uint8_t* out = scratch.data() + c * per;
+      uint32_t crc = mask_crc(sn_crc32c(src + off, len, 0));
+      int64_t comp = sn_compress(src + off, len, out + 8);
+      uint8_t type = 0x00;
+      uint64_t body;
+      if (comp < 0 || (uint64_t)comp >= len - len / 8) {
+        type = 0x01;
+        memcpy(out + 8, src + off, len);
+        body = len + 4;
+      } else {
+        body = (uint64_t)comp + 4;
+      }
+      out[0] = type;
+      out[1] = (uint8_t)body;
+      out[2] = (uint8_t)(body >> 8);
+      out[3] = (uint8_t)(body >> 16);
+      out[4] = (uint8_t)crc;
+      out[5] = (uint8_t)(crc >> 8);
+      out[6] = (uint8_t)(crc >> 16);
+      out[7] = (uint8_t)(crc >> 24);
+      out_len[c] = 4 + body;
+    }
+  };
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt - 1; t++) ths.emplace_back(worker);
+  worker();
+  for (auto& t : ths) t.join();
+
+  uint8_t* d = dst + 10;
+  for (uint64_t c = 0; c < nchunks; c++) {
+    memcpy(d, scratch.data() + c * per, out_len[c]);
+    d += out_len[c];
+  }
+  return (int64_t)(d - dst);
+}
+
+// Two-phase framed decode: scan chunk headers (cheap), then decode
+// chunks in parallel.
+int64_t sn_decompress_framed(const uint8_t* src, uint64_t n, uint8_t* dst,
+                             uint64_t dst_cap, int verify, int threads) {
+  if (n < 10 || memcmp(src, kStreamId, 10) != 0) return SN_ERR_CORRUPT;
+  struct Chunk {
+    uint64_t src_off, src_len, dst_off, dst_len;
+    uint8_t type;
+    uint32_t crc;
+  };
+  std::vector<Chunk> chunks;
+  uint64_t pos = 10, out = 0;
+  while (pos < n) {
+    if (n - pos < 4) return SN_ERR_CORRUPT;
+    uint8_t type = src[pos];
+    uint64_t body = src[pos + 1] | ((uint64_t)src[pos + 2] << 8) |
+                    ((uint64_t)src[pos + 3] << 16);
+    pos += 4;
+    if (n - pos < body) return SN_ERR_CORRUPT;
+    if (type == 0xff) {
+      if (body != 6 || memcmp(src + pos, "sNaPpY", 6) != 0) return SN_ERR_CORRUPT;
+      pos += body;
+      continue;
+    }
+    if (type == 0xfe || (type >= 0x80 && type <= 0xfd)) {
+      pos += body;
+      continue;
+    }
+    if (type >= 0x02 && type <= 0x7f) return SN_ERR_UNSUPPORTED;
+    if (body < 4) return SN_ERR_CORRUPT;
+    uint32_t crc = src[pos] | ((uint32_t)src[pos + 1] << 8) |
+                   ((uint32_t)src[pos + 2] << 16) | ((uint32_t)src[pos + 3] << 24);
+    uint64_t payload_off = pos + 4, payload_len = body - 4;
+    uint64_t dlen;
+    if (type == 0x00) {
+      uint64_t want;
+      int hdr = sn_uncompressed_length(src + payload_off, payload_len, &want);
+      if (hdr < 0) return hdr;
+      if (want > 65536) return SN_ERR_CORRUPT;
+      dlen = want;
+    } else {
+      if (payload_len > 65536) return SN_ERR_CORRUPT;
+      dlen = payload_len;
+    }
+    if (out + dlen > dst_cap) return SN_ERR_BUFFER;
+    chunks.push_back({payload_off, payload_len, out, dlen, type, crc});
+    out += dlen;
+    pos += body;
+  }
+
+  std::atomic<uint64_t> next(0);
+  std::atomic<int> err(SN_OK);
+  int nt = threads > 0 ? threads : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  auto worker = [&]() {
+    for (;;) {
+      uint64_t c = next.fetch_add(1);
+      if (c >= chunks.size() || err.load() != SN_OK) break;
+      const Chunk& ch = chunks[c];
+      if (ch.type == 0x00) {
+        int rc = sn_decompress(src + ch.src_off, ch.src_len, dst + ch.dst_off,
+                               ch.dst_len);
+        if (rc != SN_OK) {
+          err.store(rc);
+          break;
+        }
+      } else {
+        memcpy(dst + ch.dst_off, src + ch.src_off, ch.dst_len);
+      }
+      if (verify) {
+        uint32_t got = mask_crc(sn_crc32c(dst + ch.dst_off, ch.dst_len, 0));
+        if (got != ch.crc) {
+          err.store(SN_ERR_CHECKSUM);
+          break;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt - 1; t++) ths.emplace_back(worker);
+  worker();
+  for (auto& t : ths) t.join();
+  if (err.load() != SN_OK) return err.load();
+  return (int64_t)out;
+}
+
+}  // extern "C"

@@ -19,6 +19,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA compilation cache: the kernel graphs are big and CPU
+# compiles are slow; cache hits make repeat test runs fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/snappy_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import numpy as np
 import pytest
 
