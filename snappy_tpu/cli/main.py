@@ -1,0 +1,253 @@
+"""tpusnappy CLI implementation.
+
+Capability mapping from the reference (SURVEY.md §9):
+  - transactional apply  -> atomic output writes (tmp + rename; a partial
+    output file is never observable)
+  - postcondition check  -> `--verify` re-decodes after compress and
+    compares bit-for-bit before committing the output file
+  - integrity manifests  -> `verify` subcommand checks framed CRC-32C per
+    chunk and reports totals; `info` prints stream structure
+  - progress meter       -> tty GB/s meter on stderr
+  - exit-code contract   -> snappy_tpu.errors.exit_code_for
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+from snappy_tpu.errors import SnappyError, exit_code_for
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """tmp + fsync + rename in the destination directory (the reference's
+    helpers.AtomicWriteFile pattern)."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(prefix=".tpusnappy-", dir=d)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _read(path: str) -> bytes:
+    if path == "-":
+        return sys.stdin.buffer.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _emit(path: str | None, data: bytes) -> None:
+    if path is None or path == "-":
+        sys.stdout.buffer.write(data)
+        sys.stdout.buffer.flush()
+    else:
+        _atomic_write(path, data)
+
+
+def _detect_format(data: bytes) -> str:
+    from snappy_tpu.spec.format import STREAM_ID_CHUNK
+
+    return "framed" if data.startswith(STREAM_ID_CHUNK) else "raw"
+
+
+def cmd_compress(args) -> int:
+    from snappy_tpu import api
+
+    data = _read(args.file)
+    t0 = time.perf_counter()
+    if args.format == "raw":
+        out = api.compress(data, backend=args.backend)
+    else:
+        out = api.compress_framed(data, backend=args.backend)
+    dt = time.perf_counter() - t0
+    if args.verify:
+        # decode-after-encode postcondition (reference verifyUpgradeWasApplied)
+        back = (
+            api.decompress(out, backend=args.backend)
+            if args.format == "raw"
+            else api.decompress_framed(out, backend=args.backend)
+        )
+        if back != data:
+            print("tpusnappy: verification failed: round-trip mismatch", file=sys.stderr)
+            return 1
+    dest = args.output or (args.file + (".snappy" if args.format == "raw" else ".sz"))
+    _emit(dest if args.output != "-" else "-", out)
+    if not args.quiet:
+        ratio = len(data) / max(len(out), 1)
+        print(
+            f"{args.file}: {len(data)} -> {len(out)} bytes "
+            f"({ratio:.2f}x, {len(data) / 1e9 / max(dt, 1e-9):.3f} GB/s)"
+            + (", verified" if args.verify else ""),
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_decompress(args) -> int:
+    from snappy_tpu import api
+
+    data = _read(args.file)
+    fmt = args.format if args.format != "auto" else _detect_format(data)
+    t0 = time.perf_counter()
+    if fmt == "raw":
+        out = api.decompress(data, backend=args.backend)
+    else:
+        out = api.decompress_framed(data, backend=args.backend)
+    dt = time.perf_counter() - t0
+    dest = args.output
+    if dest is None:
+        for suffix in (".snappy", ".sz"):
+            if args.file.endswith(suffix):
+                dest = args.file[: -len(suffix)]
+                break
+        else:
+            dest = "-"
+    _emit(dest, out)
+    if not args.quiet:
+        print(
+            f"{args.file}: {len(data)} -> {len(out)} bytes "
+            f"({len(out) / 1e9 / max(dt, 1e-9):.3f} GB/s)",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Integrity check without writing output (CRC per chunk for framed;
+    full decode for raw)."""
+    from snappy_tpu import api
+
+    data = _read(args.file)
+    fmt = _detect_format(data)
+    try:
+        if fmt == "framed":
+            out = api.decompress_framed(data, backend=args.backend)
+        else:
+            out = api.decompress(data, backend=args.backend)
+    except SnappyError as e:
+        print(f"{args.file}: FAILED: {e}", file=sys.stderr)
+        return exit_code_for(e)
+    print(f"{args.file}: OK ({fmt}, {len(data)} -> {len(out)} bytes)")
+    return 0
+
+
+def cmd_info(args) -> int:
+    """Stream structure report (reference `snappy info` analog)."""
+    from snappy_tpu.spec.format import (
+        CHUNK_COMPRESSED,
+        CHUNK_PADDING,
+        CHUNK_STREAM_ID,
+        CHUNK_UNCOMPRESSED,
+        STREAM_ID_CHUNK,
+        read_uvarint,
+    )
+
+    data = _read(args.file)
+    fmt = _detect_format(data)
+    if fmt == "raw":
+        dst_len, hdr = read_uvarint(data, 0)
+        print(f"format:            raw snappy block stream")
+        print(f"compressed size:   {len(data)}")
+        print(f"uncompressed size: {dst_len}")
+        print(f"ratio:             {dst_len / max(len(data), 1):.3f}")
+        return 0
+    pos = len(STREAM_ID_CHUNK)
+    counts = {"compressed": 0, "uncompressed": 0, "padding/skippable": 0}
+    total_out = 0
+    while pos + 4 <= len(data):
+        ctype = data[pos]
+        body = data[pos + 1] | (data[pos + 2] << 8) | (data[pos + 3] << 16)
+        pos += 4 + body
+        if ctype == CHUNK_COMPRESSED:
+            counts["compressed"] += 1
+            dlen, _ = read_uvarint(data, pos - body + 4)
+            total_out += dlen
+        elif ctype == CHUNK_UNCOMPRESSED:
+            counts["uncompressed"] += 1
+            total_out += body - 4
+        elif ctype == CHUNK_PADDING or 0x80 <= ctype <= 0xFD or ctype == CHUNK_STREAM_ID:
+            counts["padding/skippable"] += 1
+    print(f"format:            framed (.sz)")
+    print(f"compressed size:   {len(data)}")
+    print(f"uncompressed size: {total_out}")
+    print(f"ratio:             {total_out / max(len(data), 1):.3f}")
+    for k, v in counts.items():
+        print(f"{k + ' chunks:':<19}{v}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from snappy_tpu.bench.harness import run_bench
+
+    result = run_bench(
+        size=args.size, backend=args.backend, corpus_path=args.corpus
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="tpusnappy", description="TPU-native Snappy codec"
+    )
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--backend", default=None,
+        help="codec backend: jnp (device), native (C++ host), np, oracle",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress", help="compress a file", parents=[common])
+    c.add_argument("file")
+    c.add_argument("-o", "--output", default=None)
+    c.add_argument("--format", choices=("raw", "framed"), default="framed")
+    c.add_argument("--verify", action="store_true", help="decode-after-encode check")
+    c.add_argument("-q", "--quiet", action="store_true")
+    c.set_defaults(fn=cmd_compress)
+
+    d = sub.add_parser("decompress", help="decompress a file", parents=[common])
+    d.add_argument("file")
+    d.add_argument("-o", "--output", default=None)
+    d.add_argument("--format", choices=("auto", "raw", "framed"), default="auto")
+    d.add_argument("-q", "--quiet", action="store_true")
+    d.set_defaults(fn=cmd_decompress)
+
+    v = sub.add_parser("verify", help="integrity-check a stream", parents=[common])
+    v.add_argument("file")
+    v.set_defaults(fn=cmd_verify)
+
+    i = sub.add_parser("info", help="describe a stream", parents=[common])
+    i.add_argument("file")
+    i.set_defaults(fn=cmd_info)
+
+    b = sub.add_parser("bench", help="run the benchmark harness", parents=[common])
+    b.add_argument("--size", type=int, default=64 << 20)
+    b.add_argument("--corpus", default=None)
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    except SnappyError as e:
+        print(f"tpusnappy: {e}", file=sys.stderr)
+        return exit_code_for(e)
+    except FileNotFoundError as e:
+        print(f"tpusnappy: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,279 @@
+"""Production device codec: batched 64 KiB blocks through the jnp
+kernels, with host-side framing, CRC, and assembly.
+
+Data path (compress_framed):
+  bytes -> chunk plan -> padded [B, 64Ki] batches -> device encode ->
+  per-chunk CRC-32C (native host) -> framed assembly (tmp+rename-safe
+  when used by the CLI)
+
+Data path (decompress_framed):
+  header scan -> padded [B, CMAX] batches -> device decode -> CRC check
+  -> ordered assembly by chunk index (never relies on device ordering)
+
+All large host buffers go through the tuned allocator (utils/hostmem);
+blocks are independent, so batches can be sharded over a device mesh by
+dist/ without any shared state (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from snappy_tpu.utils.jaxcache import setup_compilation_cache
+
+setup_compilation_cache()
+
+from snappy_tpu.errors import (
+    BadMagicError,
+    ChecksumError,
+    CorruptError,
+    TooLargeError,
+    UnsupportedError,
+)
+from snappy_tpu.kernels import decode_jnp, encode_jnp
+from snappy_tpu.spec.format import (
+    CHUNK_COMPRESSED,
+    CHUNK_PADDING,
+    CHUNK_STREAM_ID,
+    CHUNK_UNCOMPRESSED,
+    MAX_BLOCK_SIZE,
+    MAX_CHUNK_UNCOMPRESSED,
+    MAX_UNCOMPRESSED_LEN,
+    STREAM_ID_CHUNK,
+    STREAM_ID_PAYLOAD,
+    mask_crc,
+    max_encoded_len,
+    put_uvarint,
+    read_uvarint,
+)
+from snappy_tpu.utils.hostmem import tune_allocator
+
+tune_allocator()
+
+# Device batch size (blocks per device call).  Overridable for tests and
+# memory tuning; the TPU path wants large batches to amortize dispatch.
+BATCH = int(os.environ.get("SNAPPY_TPU_BATCH", "64"))
+# Streams up to this decoded size use single-shot device decode for the
+# raw format; larger raw streams fall back to the native host decoder
+# (framed streams have no such limit - they are chunked by design).
+RAW_DEVICE_LIMIT = int(os.environ.get("SNAPPY_TPU_RAW_DEVICE_LIMIT", str(8 << 20)))
+
+_DECODE_CMAX = 66560  # 65536 + margin, multiple of 512
+
+
+def _crc32c_host(view) -> int:
+    from snappy_tpu import native
+
+    if native.available():
+        return native.crc32c(bytes(view))
+    from snappy_tpu.spec.crc32c import crc32c
+
+    return crc32c(bytes(view))
+
+
+def _oracle_block(block: bytes) -> bytes:
+    from snappy_tpu import native
+
+    if native.available():
+        comp = native.compress(block)
+        _, hdr = read_uvarint(comp, 0)
+        return comp[hdr:]
+    from snappy_tpu.spec import reference
+
+    return reference.encode_block(block)
+
+
+# ---------------------------------------------------------------------
+# encode
+
+def _encode_batches(data: bytes | memoryview, chunk_size: int):
+    """Yield (chunk_index, chunk_len, element_bytes) for every chunk of
+    data, running the device encoder over padded batches."""
+    data = memoryview(data)
+    n = len(data)
+    n_chunks = (n + chunk_size - 1) // chunk_size
+    bmax = 256
+    while bmax < chunk_size:
+        bmax *= 2
+    arr = np.zeros((BATCH, bmax), dtype=np.uint8)
+    lens = np.zeros(BATCH, dtype=np.int32)
+    for base in range(0, n_chunks, BATCH):
+        cnt = min(BATCH, n_chunks - base)
+        arr[:] = 0
+        for i in range(cnt):
+            off = (base + i) * chunk_size
+            chunk = data[off : off + chunk_size]
+            arr[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
+            lens[i] = len(chunk)
+        lens[cnt:] = 0
+        comp, clen, ok = encode_jnp.encode_blocks(arr, lens, bmax=bmax)
+        comp_h = np.asarray(comp)
+        clen_h = np.asarray(clen)
+        ok_h = np.asarray(ok)
+        for i in range(cnt):
+            idx = base + i
+            if ok_h[i]:
+                blob = comp_h[i, : int(clen_h[i])].tobytes()
+            else:  # hash-collision fallback (~never)
+                off = idx * chunk_size
+                blob = _oracle_block(bytes(data[off : off + chunk_size]))
+            yield idx, int(lens[i]), blob
+
+
+def compress(data: bytes) -> bytes:
+    """Raw Snappy stream via the device encoder (per-64KiB fragments)."""
+    if len(data) > MAX_UNCOMPRESSED_LEN:
+        raise TooLargeError(len(data))
+    out = bytearray(put_uvarint(len(data)))
+    for _, _, blob in _encode_batches(data, MAX_BLOCK_SIZE):
+        out += blob
+    return bytes(out)
+
+
+def compress_framed(data: bytes, chunk_size: int = MAX_CHUNK_UNCOMPRESSED) -> bytes:
+    """Framed (.sz) stream via the device encoder."""
+    if not 0 < chunk_size <= MAX_CHUNK_UNCOMPRESSED:
+        raise ValueError(f"chunk_size must be in (0, 65536], got {chunk_size}")
+    data_v = memoryview(data)
+    out = bytearray(STREAM_ID_CHUNK)
+    for idx, chunk_len, blob in _encode_batches(data, chunk_size):
+        off = idx * chunk_size
+        chunk = data_v[off : off + chunk_len]
+        checksum = mask_crc(_crc32c_host(chunk))
+        body = put_uvarint(chunk_len) + blob
+        chunk_type = CHUNK_COMPRESSED
+        if len(body) >= chunk_len - chunk_len // 8:
+            chunk_type = CHUNK_UNCOMPRESSED
+            body = bytes(chunk)
+        blen = len(body) + 4
+        out += bytes((chunk_type, blen & 0xFF, (blen >> 8) & 0xFF, (blen >> 16) & 0xFF))
+        out += checksum.to_bytes(4, "little")
+        out += body
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# decode
+
+def _scan_frames(src: bytes):
+    """Parse framed chunk headers.  Returns list of
+    (type, payload_off, payload_len, crc, dst_len, elem_start) and the
+    total output size.  elem_start is the element offset inside the
+    payload for compressed chunks (varint header length)."""
+    n = len(src)
+    if n < len(STREAM_ID_CHUNK) or src[: len(STREAM_ID_CHUNK)] != STREAM_ID_CHUNK:
+        raise BadMagicError()
+    chunks = []
+    pos = len(STREAM_ID_CHUNK)
+    total = 0
+    while pos < n:
+        if n - pos < 4:
+            raise CorruptError("truncated chunk header")
+        ctype = src[pos]
+        body = src[pos + 1] | (src[pos + 2] << 8) | (src[pos + 3] << 16)
+        pos += 4
+        if n - pos < body:
+            raise CorruptError("truncated chunk body")
+        if ctype == CHUNK_STREAM_ID:
+            if src[pos : pos + body] != STREAM_ID_PAYLOAD:
+                raise BadMagicError()
+            pos += body
+            continue
+        if ctype == CHUNK_PADDING or 0x80 <= ctype <= 0xFD:
+            pos += body
+            continue
+        if 0x02 <= ctype <= 0x7F:
+            raise UnsupportedError(ctype)
+        if body < 4:
+            raise CorruptError("chunk body shorter than checksum")
+        crc = int.from_bytes(src[pos : pos + 4], "little")
+        p_off, p_len = pos + 4, body - 4
+        if ctype == CHUNK_COMPRESSED:
+            dst_len, hdr = read_uvarint(src, p_off)
+            if dst_len > MAX_CHUNK_UNCOMPRESSED:
+                raise CorruptError("chunk decodes to more than 64KiB")
+            chunks.append((ctype, p_off, p_len, crc, dst_len, hdr))
+        else:
+            if p_len > MAX_CHUNK_UNCOMPRESSED:
+                raise CorruptError("uncompressed chunk larger than 64KiB")
+            chunks.append((ctype, p_off, p_len, crc, p_len, 0))
+        total += chunks[-1][4]
+        pos += body
+    return chunks, total
+
+
+def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
+    chunks, total = _scan_frames(data)
+    out = np.empty(max(1, total), dtype=np.uint8)
+    src_arr = np.frombuffer(data, dtype=np.uint8)
+
+    # output offsets: exclusive scan over chunk sizes, original order
+    dst_offs = []
+    acc = 0
+    for ch in chunks:
+        dst_offs.append(acc)
+        acc += ch[4]
+
+    comp_idx = [i for i, ch in enumerate(chunks) if ch[0] == CHUNK_COMPRESSED]
+    # uncompressed chunks: straight copies
+    for i, ch in enumerate(chunks):
+        if ch[0] == CHUNK_UNCOMPRESSED:
+            out[dst_offs[i] : dst_offs[i] + ch[4]] = src_arr[ch[1] : ch[1] + ch[2]]
+
+    if comp_idx:
+        arr = np.zeros((BATCH, _DECODE_CMAX), dtype=np.uint8)
+        starts = np.zeros(BATCH, dtype=np.int32)
+        clens = np.zeros(BATCH, dtype=np.int32)
+        dlens = np.zeros(BATCH, dtype=np.int32)
+        for base in range(0, len(comp_idx), BATCH):
+            grp = comp_idx[base : base + BATCH]
+            arr[:] = 0
+            starts[:] = 0
+            clens[:] = 0
+            dlens[:] = 0
+            for row, i in enumerate(grp):
+                _, p_off, p_len, _, dst_len, hdr = chunks[i]
+                if p_len > _DECODE_CMAX:
+                    raise CorruptError("compressed chunk implausibly large")
+                arr[row, :p_len] = src_arr[p_off : p_off + p_len]
+                starts[row] = hdr
+                clens[row] = p_len
+                dlens[row] = dst_len
+            res, err = decode_jnp.decode_blocks(
+                arr, starts, clens, dlens, out_max=MAX_CHUNK_UNCOMPRESSED
+            )
+            err_h = np.asarray(err)
+            res_h = np.asarray(res)
+            for row, i in enumerate(grp):
+                if err_h[row] != decode_jnp.ERR_NONE:
+                    raise CorruptError(
+                        decode_jnp.ERR_MESSAGES.get(int(err_h[row]), "decode error")
+                    )
+                d = chunks[i][4]
+                out[dst_offs[i] : dst_offs[i] + d] = res_h[row, :d]
+
+    if verify_checksums:
+        for i, ch in enumerate(chunks):
+            got = mask_crc(_crc32c_host(out[dst_offs[i] : dst_offs[i] + ch[4]]))
+            if got != ch[3]:
+                raise ChecksumError(ch[3], got)
+    return out[:total].tobytes()
+
+
+def decompress(data: bytes) -> bytes:
+    """Raw Snappy stream decode.  Small streams decode on device in one
+    shot; large raw streams (which lack block boundaries by format
+    design) use the native host decoder."""
+    dst_len, hdr = read_uvarint(data, 0)
+    if dst_len > RAW_DEVICE_LIMIT:
+        from snappy_tpu import native
+
+        if native.available():
+            return native.decompress(data)
+        from snappy_tpu.kernels import decode_np
+
+        return decode_np.decompress(data)
+    return decode_jnp.decode_block_jnp(data, dst_len, start=hdr)

@@ -10,20 +10,27 @@ import os
 import random
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with a virtual 8-device mesh.  The environment pins
+# JAX_PLATFORMS=axon (real TPU tunnel) via sitecustomize, which runs at
+# interpreter startup - env vars set here are too late, but the jax
+# config override works as long as no backend has initialized yet.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent XLA compilation cache: the kernel graphs are big and CPU
 # compiles are slow; cache hits make repeat test runs fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/snappy_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+from snappy_tpu.utils.jaxcache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import numpy as np
 import pytest

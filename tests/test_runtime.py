@@ -1,0 +1,78 @@
+"""L2 runtime: production batched device codec vs the oracle, through the
+public API backend registry."""
+
+import os
+
+import numpy as np
+import pytest
+
+import snappy_tpu
+from conftest import make_corpus_samples
+from snappy_tpu.errors import BadMagicError, ChecksumError, CorruptError
+from snappy_tpu.runtime import device_codec
+from snappy_tpu.spec import framing, reference
+
+pa = pytest.importorskip("pyarrow")
+
+
+def test_framed_roundtrip_multichunk(rng):
+    # 3 chunks: compressible, incompressible, tail
+    data = (b"hello world " * 11000)[:120000] + rng.randbytes(70000) + b"tail" * 10
+    framed = device_codec.compress_framed(data)
+    assert device_codec.decompress_framed(framed) == data
+    # oracle framing decodes our stream; we decode oracle's
+    assert framing.decompress_framed(framed) == data
+    assert device_codec.decompress_framed(framing.compress_framed(data)) == data
+
+
+def test_framed_empty_and_small(rng):
+    for data in (b"", b"x", rng.randbytes(100)):
+        framed = device_codec.compress_framed(data)
+        assert device_codec.decompress_framed(framed) == data
+        assert framing.decompress_framed(framed) == data
+
+
+def test_raw_roundtrip(rng):
+    for data in (b"", b"abc", (b"pattern" * 40000)[:150000], rng.randbytes(80000)):
+        comp = device_codec.compress(data)
+        assert reference.decompress(comp) == data
+        assert device_codec.decompress(comp) == data
+        if data:
+            assert pa.decompress(comp, len(data), codec="snappy", asbytes=True) == data
+
+
+def test_ratio_bound_device_path(rng):
+    data = b"".join(make_corpus_samples(rng, sizes=(1000, 65536)))
+    comp = device_codec.compress(data)
+    ref = min(
+        len(reference.compress(data)),
+        len(pa.compress(data, codec="snappy", asbytes=True)),
+    )
+    assert len(comp) <= ref
+
+
+def test_framed_errors(rng):
+    data = rng.randbytes(5000)
+    framed = bytearray(device_codec.compress_framed(data))
+    with pytest.raises(BadMagicError):
+        device_codec.decompress_framed(b"nope" + bytes(framed))
+    framed[-1] ^= 0xFF
+    with pytest.raises((ChecksumError, CorruptError)):
+        device_codec.decompress_framed(bytes(framed))
+
+
+def test_api_backend_jnp(rng):
+    data = b"api-level drive " * 1000
+    c = snappy_tpu.compress(data, backend="jnp")
+    assert snappy_tpu.decompress(c, backend="jnp") == data
+    f = snappy_tpu.compress_framed(data, backend="jnp")
+    assert snappy_tpu.decompress_framed(f, backend="jnp") == data
+    assert snappy_tpu.decompress_framed(f, backend="oracle") == data
+
+
+def test_batch_boundary(rng, monkeypatch):
+    # force tiny batches so multiple device calls happen
+    monkeypatch.setattr(device_codec, "BATCH", 2)
+    data = rng.randbytes(65536 * 5 + 123)
+    framed = device_codec.compress_framed(data)
+    assert device_codec.decompress_framed(framed) == data
