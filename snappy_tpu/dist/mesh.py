@@ -58,18 +58,33 @@ def init_distributed(
     )
 
 
+def _pad_to_mesh(mesh: Mesh, *arrays):
+    """Pad the batch axis to a multiple of the mesh size (padding rows are
+    zero-length blocks, which the kernels treat as empty)."""
+    n = mesh.devices.size
+    b = arrays[0].shape[0]
+    rem = (-b) % n
+    if rem == 0:
+        return arrays, b
+    padded = tuple(
+        np.concatenate([a, np.zeros((rem,) + a.shape[1:], a.dtype)]) for a in arrays
+    )
+    return padded, b
+
+
 def _shard_batch(mesh: Mesh, *arrays):
     sharding = NamedSharding(mesh, P("d"))
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
 
 def sharded_encode(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray, bmax: int):
-    """Encode a [B, bmax] batch sharded over the mesh (B % n_devices == 0).
-    Returns host numpy (comp, comp_len, ok)."""
+    """Encode a [B, bmax] batch sharded over the mesh (auto-padded to a
+    multiple of the mesh size).  Returns host numpy (comp, comp_len, ok)."""
+    (blocks, lens), b = _pad_to_mesh(mesh, blocks, lens)
     blocks_d, lens_d = _shard_batch(mesh, blocks, lens)
     with mesh:
         comp, clen, ok = encode_jnp.encode_blocks(blocks_d, lens_d, bmax=bmax)
-    return np.asarray(comp), np.asarray(clen), np.asarray(ok)
+    return np.asarray(comp)[:b], np.asarray(clen)[:b], np.asarray(ok)[:b]
 
 
 def sharded_decode(
@@ -81,12 +96,15 @@ def sharded_decode(
     out_max: int,
 ):
     """Decode a padded compressed batch sharded over the mesh."""
+    (comp, start, comp_len, dst_len), b = _pad_to_mesh(
+        mesh, comp, start, comp_len, dst_len
+    )
     comp_d, start_d, clen_d, dlen_d = _shard_batch(mesh, comp, start, comp_len, dst_len)
     with mesh:
         out, err = decode_jnp.decode_blocks(
             comp_d, start_d, clen_d, dlen_d, out_max=out_max
         )
-    return np.asarray(out), np.asarray(err)
+    return np.asarray(out)[:b], np.asarray(err)[:b]
 
 
 @functools.partial(jax.jit, static_argnames=("bmax",))

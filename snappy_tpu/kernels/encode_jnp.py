@@ -103,18 +103,22 @@ def _find_matches(block_u8, n, bmax: int):
     maxm = jnp.maximum(n - pos, 0)
 
     def lcp(c, cvalid):
-        lo = jnp.full(bmax, 4, dtype=jnp.int32)
         cc = jnp.clip(c, 0, bmax - 1)
-        for k in range(16, -1, -1):
-            trial = lo + (1 << k)
+        ha_p, hb_p = ha[pos], hb[pos]
+        ha_c, hb_c = ha[cc], hb[cc]
+
+        def step(i, lo):
+            # k = 16 - i; fori_loop keeps the HLO small (compile time)
+            trial = lo + (jnp.int32(1) << (16 - i))
             ok = (trial <= maxm) & cvalid
             t = jnp.minimum(trial, maxm)
             pt = jnp.clip(pos + t, 0, bmax)
             ct = jnp.clip(cc + t, 0, bmax)
-            eq_a = (ha[pt] - ha[pos] * rpa[t]) == (ha[ct] - ha[cc] * rpa[t])
-            eq_b = (hb[pt] - hb[pos] * rpb[t]) == (hb[ct] - hb[cc] * rpb[t])
-            lo = jnp.where(eq_a & eq_b & ok, trial, lo)
-        return lo
+            eq_a = (ha[pt] - ha_p * rpa[t]) == (ha[ct] - ha_c * rpa[t])
+            eq_b = (hb[pt] - hb_p * rpb[t]) == (hb[ct] - hb_c * rpb[t])
+            return jnp.where(eq_a & eq_b & ok, trial, lo)
+
+        return jax.lax.fori_loop(0, 17, step, jnp.full(bmax, 4, dtype=jnp.int32))
 
     best_c = jnp.full(bmax, -1, dtype=jnp.int32)
     best_l = jnp.zeros(bmax, dtype=jnp.int32)
