@@ -54,8 +54,9 @@ from snappy_tpu.utils.hostmem import tune_allocator
 tune_allocator()
 
 # Device batch size (blocks per device call).  Overridable for tests and
-# memory tuning; the TPU path wants large batches to amortize dispatch.
-BATCH = int(os.environ.get("SNAPPY_TPU_BATCH", "64"))
+# memory tuning; the TPU path wants large batches to amortize dispatch
+# latency (the axon relay costs ~50ms per synchronized call).
+BATCH = int(os.environ.get("SNAPPY_TPU_BATCH", "256"))
 # Streams up to this decoded size use single-shot device decode for the
 # raw format; larger raw streams fall back to the native host decoder
 # (framed streams have no such limit - they are chunked by design).
@@ -91,28 +92,44 @@ def _oracle_block(block: bytes) -> bytes:
 
 def _encode_batches(data: bytes | memoryview, chunk_size: int):
     """Yield (chunk_index, chunk_len, element_bytes) for every chunk of
-    data, running the device encoder over padded batches."""
+    data, running the device encoder over padded batches.
+
+    Two-phase: dispatch every batch first (device queues are deep and
+    dispatch is asynchronous), then fetch results.  Fetches are trimmed
+    to the realized compressed lengths (device-side slice before D2H) —
+    transfers through the relay are the scarce resource, not compute.
+    """
     data = memoryview(data)
     n = len(data)
     n_chunks = (n + chunk_size - 1) // chunk_size
     bmax = 256
     while bmax < chunk_size:
         bmax *= 2
-    arr = np.zeros((BATCH, bmax), dtype=np.uint8)
-    lens = np.zeros(BATCH, dtype=np.int32)
+    handles = []
+    counts = []
+    lens_all = []
     for base in range(0, n_chunks, BATCH):
         cnt = min(BATCH, n_chunks - base)
-        arr[:] = 0
+        # always dispatch full-BATCH rows: a ragged tail would compile a
+        # second executable per distinct batch size
+        arr = np.zeros((BATCH, bmax), dtype=np.uint8)
+        lens = np.zeros(BATCH, dtype=np.int32)
         for i in range(cnt):
             off = (base + i) * chunk_size
             chunk = data[off : off + chunk_size]
             arr[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
             lens[i] = len(chunk)
-        lens[cnt:] = 0
-        comp, clen, ok = encode_jnp.encode_blocks(arr, lens, bmax=bmax)
-        comp_h = np.asarray(comp)
-        clen_h = np.asarray(clen)
-        ok_h = np.asarray(ok)
+        handles.append(encode_jnp.encode_blocks(arr, lens, bmax=bmax))
+        counts.append(cnt)
+        lens_all.append(lens)
+    for bi, (comp, clen, ok) in enumerate(handles):
+        base = bi * BATCH
+        cnt = counts[bi]
+        clen_h = np.asarray(clen)[:cnt]
+        ok_h = np.asarray(ok)[:cnt]
+        kmax = int(clen_h.max()) if clen_h.size else 0
+        kmax = min((kmax + 511) & ~511, comp.shape[1])
+        comp_h = np.asarray(comp[:cnt, :kmax]) if kmax else np.zeros((cnt, 0), np.uint8)
         for i in range(cnt):
             idx = base + i
             if ok_h[i]:
@@ -120,7 +137,7 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             else:  # hash-collision fallback (~never)
                 off = idx * chunk_size
                 blob = _oracle_block(bytes(data[off : off + chunk_size]))
-            yield idx, int(lens[i]), blob
+            yield idx, int(lens_all[bi][i]), blob
 
 
 def compress(data: bytes) -> bytes:
@@ -224,16 +241,15 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
             out[dst_offs[i] : dst_offs[i] + ch[4]] = src_arr[ch[1] : ch[1] + ch[2]]
 
     if comp_idx:
-        arr = np.zeros((BATCH, _DECODE_CMAX), dtype=np.uint8)
-        starts = np.zeros(BATCH, dtype=np.int32)
-        clens = np.zeros(BATCH, dtype=np.int32)
-        dlens = np.zeros(BATCH, dtype=np.int32)
+        # two-phase: dispatch every batch, then fetch (relay transfers
+        # are the scarce resource; device queues are deep)
+        handles = []
         for base in range(0, len(comp_idx), BATCH):
             grp = comp_idx[base : base + BATCH]
-            arr[:] = 0
-            starts[:] = 0
-            clens[:] = 0
-            dlens[:] = 0
+            arr = np.zeros((BATCH, _DECODE_CMAX), dtype=np.uint8)
+            starts = np.zeros(BATCH, dtype=np.int32)
+            clens = np.zeros(BATCH, dtype=np.int32)
+            dlens = np.zeros(BATCH, dtype=np.int32)
             for row, i in enumerate(grp):
                 _, p_off, p_len, _, dst_len, hdr = chunks[i]
                 if p_len > _DECODE_CMAX:
@@ -242,9 +258,13 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
                 starts[row] = hdr
                 clens[row] = p_len
                 dlens[row] = dst_len
-            res, err = decode_jnp.decode_blocks(
-                arr, starts, clens, dlens, out_max=MAX_CHUNK_UNCOMPRESSED
+            handles.append(
+                decode_jnp.decode_blocks(
+                    arr, starts, clens, dlens, out_max=MAX_CHUNK_UNCOMPRESSED
+                )
             )
+        for bi, (res, err) in enumerate(handles):
+            grp = comp_idx[bi * BATCH : (bi + 1) * BATCH]
             err_h = np.asarray(err)
             res_h = np.asarray(res)
             for row, i in enumerate(grp):

@@ -20,6 +20,10 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Small device batches keep CPU test compiles fast (the TPU default is
+# 256 blocks per call).
+os.environ.setdefault("SNAPPY_TPU_BATCH", "8")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
