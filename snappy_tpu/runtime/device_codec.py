@@ -33,7 +33,12 @@ from snappy_tpu.errors import (
     TooLargeError,
     UnsupportedError,
 )
+import functools
+
+import jax.numpy as jnp
+
 from snappy_tpu.kernels import decode_jnp, encode_jnp
+from snappy_tpu.kernels.crc32c_jnp import CHUNK as _CRC_CHUNK, crc32c_chunks
 from snappy_tpu.spec.format import (
     CHUNK_COMPRESSED,
     CHUNK_PADDING,
@@ -45,6 +50,7 @@ from snappy_tpu.spec.format import (
     STREAM_ID_CHUNK,
     STREAM_ID_PAYLOAD,
     mask_crc,
+    unmask_crc,
     max_encoded_len,
     put_uvarint,
     read_uvarint,
@@ -63,6 +69,22 @@ BATCH = int(os.environ.get("SNAPPY_TPU_BATCH", "256"))
 RAW_DEVICE_LIMIT = int(os.environ.get("SNAPPY_TPU_RAW_DEVICE_LIMIT", str(8 << 20)))
 
 _DECODE_CMAX = 66560  # 65536 + margin, multiple of 512
+
+# Device-side CRC-32C (MXU GF(2)-matmul kernel): fuse checksum compute /
+# verify into the device graphs so the host never touches payload bytes
+# for integrity.  Disable to fall back to host CRC.
+DEVICE_CRC = os.environ.get("SNAPPY_TPU_DEVICE_CRC", "1") != "0"
+
+
+@functools.partial(jax.jit, static_argnames=("out_max",))
+def _decode_and_crc(arr, starts, clens, dlens, want_crc, out_max: int):
+    """Decode a batch and verify per-chunk CRC-32C on device; a mismatch
+    surfaces as its own error code so the host can raise ChecksumError."""
+    out, err = decode_jnp.decode_blocks(arr, starts, clens, dlens, out_max=out_max)
+    crc = crc32c_chunks(out, dlens)
+    crc_bad = (crc != want_crc) & (err == 0)
+    err = jnp.where(crc_bad, jnp.int32(100), err)
+    return out, err
 
 
 def _crc32c_host(view) -> int:
@@ -243,6 +265,9 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
     if comp_idx:
         # two-phase: dispatch every batch, then fetch (relay transfers
         # are the scarce resource; device queues are deep)
+        use_dev_crc = (
+            verify_checksums and DEVICE_CRC and MAX_CHUNK_UNCOMPRESSED == _CRC_CHUNK
+        )
         handles = []
         for base in range(0, len(comp_idx), BATCH):
             grp = comp_idx[base : base + BATCH]
@@ -250,33 +275,48 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
             starts = np.zeros(BATCH, dtype=np.int32)
             clens = np.zeros(BATCH, dtype=np.int32)
             dlens = np.zeros(BATCH, dtype=np.int32)
+            want = np.zeros(BATCH, dtype=np.uint32)
             for row, i in enumerate(grp):
-                _, p_off, p_len, _, dst_len, hdr = chunks[i]
+                _, p_off, p_len, crc, dst_len, hdr = chunks[i]
                 if p_len > _DECODE_CMAX:
                     raise CorruptError("compressed chunk implausibly large")
                 arr[row, :p_len] = src_arr[p_off : p_off + p_len]
                 starts[row] = hdr
                 clens[row] = p_len
                 dlens[row] = dst_len
-            handles.append(
-                decode_jnp.decode_blocks(
-                    arr, starts, clens, dlens, out_max=MAX_CHUNK_UNCOMPRESSED
+                want[row] = unmask_crc(crc)
+            if use_dev_crc:
+                handles.append(
+                    _decode_and_crc(
+                        arr, starts, clens, dlens, want, out_max=MAX_CHUNK_UNCOMPRESSED
+                    )
                 )
-            )
+            else:
+                handles.append(
+                    decode_jnp.decode_blocks(
+                        arr, starts, clens, dlens, out_max=MAX_CHUNK_UNCOMPRESSED
+                    )
+                )
         for bi, (res, err) in enumerate(handles):
             grp = comp_idx[bi * BATCH : (bi + 1) * BATCH]
             err_h = np.asarray(err)
             res_h = np.asarray(res)
             for row, i in enumerate(grp):
-                if err_h[row] != decode_jnp.ERR_NONE:
+                code = int(err_h[row])
+                if code == 100:
+                    raise ChecksumError(chunks[i][3], 0)
+                if code != decode_jnp.ERR_NONE:
                     raise CorruptError(
-                        decode_jnp.ERR_MESSAGES.get(int(err_h[row]), "decode error")
+                        decode_jnp.ERR_MESSAGES.get(code, "decode error")
                     )
                 d = chunks[i][4]
                 out[dst_offs[i] : dst_offs[i] + d] = res_h[row, :d]
 
     if verify_checksums:
+        dev_checked = DEVICE_CRC and MAX_CHUNK_UNCOMPRESSED == _CRC_CHUNK
         for i, ch in enumerate(chunks):
+            if dev_checked and ch[0] == CHUNK_COMPRESSED:
+                continue  # verified on device inside _decode_and_crc
             got = mask_crc(_crc32c_host(out[dst_offs[i] : dst_offs[i] + ch[4]]))
             if got != ch[3]:
                 raise ChecksumError(ch[3], got)
