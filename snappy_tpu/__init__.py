@@ -45,4 +45,8 @@ def __getattr__(name):
         from snappy_tpu import api
 
         return getattr(api, name)
+    if name in ("FramedReader", "FramedWriter"):
+        from snappy_tpu.runtime import stream
+
+        return getattr(stream, name)
     raise AttributeError(f"module 'snappy_tpu' has no attribute {name!r}")

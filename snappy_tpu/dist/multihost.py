@@ -1,0 +1,96 @@
+"""Multi-host data-parallel codec (BASELINE config 5).
+
+Each host process owns a contiguous range of 64 KiB chunks, compresses
+or decompresses them on its local chips, and the only DCN traffic is the
+per-chunk compressed-length allgather so every host can compute global
+output offsets (exclusive scan) for its writes.  Bit-for-bit parity with
+single-host output is structural: block encodings are position
+independent.
+
+Run one process per host:
+
+    python -m snappy_tpu.dist.multihost --coordinator HOST:PORT \
+        --num-processes N --process-id I compress IN OUT
+
+Without a pod this module is exercised by unit tests through its
+process-count=1 path and by the chunk-range planner tests; the dry-run
+driver validates the sharded compile path separately.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from snappy_tpu.spec.format import MAX_CHUNK_UNCOMPRESSED
+
+__all__ = ["plan_ranges", "host_compress_framed", "gather_lengths"]
+
+
+def plan_ranges(total_bytes: int, num_hosts: int,
+                chunk_size: int = MAX_CHUNK_UNCOMPRESSED):
+    """Split a stream into per-host contiguous chunk ranges (balanced to
+    within one chunk).  Returns [(chunk_start, chunk_count), ...]."""
+    n_chunks = (total_bytes + chunk_size - 1) // chunk_size if total_bytes else 0
+    base = n_chunks // num_hosts
+    extra = n_chunks % num_hosts
+    out = []
+    start = 0
+    for h in range(num_hosts):
+        cnt = base + (1 if h < extra else 0)
+        out.append((start, cnt))
+        start += cnt
+    return out
+
+
+def gather_lengths(local_lengths: np.ndarray) -> np.ndarray:
+    """Allgather per-chunk compressed lengths across hosts (the single
+    DCN collective of the codec).  Single-process: identity."""
+    import jax
+
+    if jax.process_count() == 1:
+        return local_lengths
+    from jax.experimental import multihost_utils
+
+    return np.concatenate(
+        multihost_utils.process_allgather(local_lengths, tiled=False)
+    )
+
+
+def host_compress_framed(data_local: bytes, chunk_start: int,
+                         chunk_size: int = MAX_CHUNK_UNCOMPRESSED):
+    """Compress this host's chunk range; returns (bodies, lengths) where
+    bodies[i] is the full framed chunk record (header+crc+payload) for
+    global chunk index chunk_start + i.
+
+    The caller allgathers lengths, computes offsets with an exclusive
+    scan, and writes bodies at offset 10 + sum(lengths of prior chunks)
+    (10 = stream-identifier chunk written by host 0).
+    """
+    from snappy_tpu.runtime import device_codec
+    from snappy_tpu.spec.format import (
+        CHUNK_COMPRESSED,
+        CHUNK_UNCOMPRESSED,
+        mask_crc,
+        put_uvarint,
+    )
+
+    data_v = memoryview(data_local)
+    bodies = []
+    for idx, chunk_len, blob in device_codec._encode_batches(data_local, chunk_size):
+        off = idx * chunk_size
+        chunk = bytes(data_v[off : off + chunk_len])
+        checksum = mask_crc(device_codec._crc32c_host(chunk))
+        body = put_uvarint(chunk_len) + blob
+        ctype = CHUNK_COMPRESSED
+        if len(body) >= chunk_len - chunk_len // 8:
+            ctype = CHUNK_UNCOMPRESSED
+            body = chunk
+        blen = len(body) + 4
+        rec = (
+            bytes((ctype, blen & 0xFF, (blen >> 8) & 0xFF, (blen >> 16) & 0xFF))
+            + checksum.to_bytes(4, "little")
+            + body
+        )
+        bodies.append(rec)
+    lengths = np.array([len(b) for b in bodies], dtype=np.int64)
+    return bodies, lengths

@@ -1,0 +1,186 @@
+"""Streaming framed (.sz) reader/writer — file-like incremental API.
+
+The reference library exposes io.Reader/io.Writer wrappers around the
+framed format; these are the equivalents.  Writer buffers to chunk
+granularity and emits framed chunks on flush/close; Reader consumes
+chunks incrementally and serves arbitrary read sizes.  Both route
+per-chunk codec work through the backend registry, so the same classes
+run on the oracle, native, or device backends.
+"""
+
+from __future__ import annotations
+
+import io
+
+from snappy_tpu.errors import (
+    BadMagicError,
+    ChecksumError,
+    CorruptError,
+    UnsupportedError,
+)
+from snappy_tpu.spec.format import (
+    CHUNK_COMPRESSED,
+    CHUNK_PADDING,
+    CHUNK_STREAM_ID,
+    CHUNK_UNCOMPRESSED,
+    MAX_CHUNK_UNCOMPRESSED,
+    STREAM_ID_CHUNK,
+    STREAM_ID_PAYLOAD,
+    mask_crc,
+)
+
+__all__ = ["FramedWriter", "FramedReader"]
+
+
+def _crc(data: bytes) -> int:
+    from snappy_tpu import native
+
+    if native.available():
+        return native.crc32c(data)
+    from snappy_tpu.spec.crc32c import crc32c
+
+    return crc32c(data)
+
+
+class FramedWriter(io.RawIOBase):
+    """Incremental framed compressor.
+
+    with FramedWriter(open(path, 'wb')) as w:
+        w.write(part1); w.write(part2)
+    """
+
+    def __init__(self, sink, chunk_size: int = MAX_CHUNK_UNCOMPRESSED,
+                 backend: str | None = None):
+        if not 0 < chunk_size <= MAX_CHUNK_UNCOMPRESSED:
+            raise ValueError("chunk_size must be in (0, 65536]")
+        self._sink = sink
+        self._chunk_size = chunk_size
+        self._backend = backend
+        self._buf = bytearray()
+        self._wrote_header = False
+
+    def writable(self) -> bool:
+        return True
+
+    def write(self, data) -> int:
+        self._buf += bytes(data)
+        while len(self._buf) >= self._chunk_size:
+            self._emit(bytes(self._buf[: self._chunk_size]))
+            del self._buf[: self._chunk_size]
+        return len(data)
+
+    def _emit(self, chunk: bytes) -> None:
+        from snappy_tpu import api
+
+        if not self._wrote_header:
+            self._sink.write(STREAM_ID_CHUNK)
+            self._wrote_header = True
+        checksum = mask_crc(_crc(chunk))
+        body = api.compress(chunk, backend=self._backend)
+        ctype = CHUNK_COMPRESSED
+        if len(body) >= len(chunk) - len(chunk) // 8:
+            ctype = CHUNK_UNCOMPRESSED
+            body = chunk
+        blen = len(body) + 4
+        self._sink.write(
+            bytes((ctype, blen & 0xFF, (blen >> 8) & 0xFF, (blen >> 16) & 0xFF))
+        )
+        self._sink.write(checksum.to_bytes(4, "little"))
+        self._sink.write(body)
+
+    def flush(self) -> None:
+        while self._buf:
+            chunk = bytes(self._buf[: self._chunk_size])
+            del self._buf[: self._chunk_size]
+            self._emit(chunk)
+        if not self._wrote_header:
+            self._sink.write(STREAM_ID_CHUNK)
+            self._wrote_header = True
+        self._sink.flush()
+
+    def close(self) -> None:
+        if not self.closed:
+            self.flush()
+        super().close()
+
+
+class FramedReader(io.RawIOBase):
+    """Incremental framed decompressor over a file-like source."""
+
+    def __init__(self, source, verify_checksums: bool = True,
+                 backend: str | None = None):
+        self._src = source
+        self._verify = verify_checksums
+        self._backend = backend
+        self._pending = b""
+        self._eof = False
+        self._checked_magic = False
+
+    def readable(self) -> bool:
+        return True
+
+    def _read_exact(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            got = self._src.read(n - len(out))
+            if not got:
+                raise CorruptError("truncated framed stream")
+            out += got
+        return out
+
+    def _next_chunk(self) -> bool:
+        """Decode one data chunk into _pending; False at clean EOF."""
+        from snappy_tpu import api
+
+        while True:
+            hdr = self._src.read(4)
+            if not hdr:
+                return False
+            if len(hdr) < 4:
+                raise CorruptError("truncated chunk header")
+            ctype = hdr[0]
+            blen = hdr[1] | (hdr[2] << 8) | (hdr[3] << 16)
+            if not self._checked_magic:
+                if ctype != CHUNK_STREAM_ID:
+                    raise BadMagicError()
+            if ctype == CHUNK_STREAM_ID:
+                if self._read_exact(blen) != STREAM_ID_PAYLOAD:
+                    raise BadMagicError()
+                self._checked_magic = True
+                continue
+            if ctype == CHUNK_PADDING or 0x80 <= ctype <= 0xFD:
+                self._read_exact(blen)
+                continue
+            if 0x02 <= ctype <= 0x7F:
+                raise UnsupportedError(ctype)
+            if blen < 4:
+                raise CorruptError("chunk body shorter than checksum")
+            body = self._read_exact(blen)
+            stored = int.from_bytes(body[:4], "little")
+            payload = body[4:]
+            if ctype == CHUNK_COMPRESSED:
+                data = api.decompress(payload, backend=self._backend)
+                if len(data) > MAX_CHUNK_UNCOMPRESSED:
+                    raise CorruptError("chunk decodes to more than 64KiB")
+            else:
+                if len(payload) > MAX_CHUNK_UNCOMPRESSED:
+                    raise CorruptError("uncompressed chunk larger than 64KiB")
+                data = payload
+            if self._verify:
+                got = mask_crc(_crc(data))
+                if got != stored:
+                    raise ChecksumError(stored, got)
+            self._pending = data
+            return True
+
+    def read(self, n: int = -1) -> bytes:
+        out = bytearray()
+        while n < 0 or len(out) < n:
+            if not self._pending:
+                if self._eof or not self._next_chunk():
+                    self._eof = True
+                    break
+            take = len(self._pending) if n < 0 else min(n - len(out), len(self._pending))
+            out += self._pending[:take]
+            self._pending = self._pending[take:]
+        return bytes(out)

@@ -1,0 +1,38 @@
+"""Multi-host planner + per-host compression units: assembling the
+per-host outputs must reproduce the single-host framed stream exactly
+(bit-for-bit parity requirement, BASELINE config 5)."""
+
+import numpy as np
+
+from snappy_tpu.dist import multihost
+from snappy_tpu.runtime import device_codec
+from snappy_tpu.spec.format import STREAM_ID_CHUNK
+
+
+def test_plan_ranges():
+    assert multihost.plan_ranges(0, 4) == [(0, 0)] * 4
+    r = multihost.plan_ranges(65536 * 10 + 5, 4)
+    assert sum(c for _, c in r) == 11
+    assert r[0][0] == 0
+    for (s1, c1), (s2, _) in zip(r, r[1:]):
+        assert s2 == s1 + c1
+    # balance within one chunk
+    counts = [c for _, c in r]
+    assert max(counts) - min(counts) <= 1
+
+
+def test_two_host_assembly_parity(rng):
+    data = (b"multi host corpus " * 9000)[:100000] + rng.randbytes(120000)
+    single = device_codec.compress_framed(data)
+
+    ranges = multihost.plan_ranges(len(data), 2)
+    parts = []
+    for start, cnt in ranges:
+        lo = start * 65536
+        hi = min(len(data), (start + cnt) * 65536)
+        bodies, lengths = multihost.host_compress_framed(data[lo:hi], start)
+        assert multihost.gather_lengths(lengths) is lengths  # 1-process path
+        parts.append(b"".join(bodies))
+    assembled = bytes(STREAM_ID_CHUNK) + b"".join(parts)
+    assert assembled == single
+    assert device_codec.decompress_framed(assembled) == data
