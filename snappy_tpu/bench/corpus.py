@@ -113,6 +113,26 @@ _PROFILE = (
 )
 
 
+def make_enwik_like(n: int, seed: int = 31337) -> bytes:
+    """enwik9 analog: wiki-markup XML with zipf-y natural text (the
+    multi-chip scaling config's corpus, BASELINE config 4)."""
+    rng = np.random.default_rng(seed)
+    out = bytearray(b"<mediawiki xmlns=\"http://www.mediawiki.org/xml/export-0.3/\">\n")
+    i = 0
+    while len(out) < n:
+        title = b"Article_%d" % i
+        body = _text_like(min(2000, n), rng)
+        out += (
+            b"<page>\n  <title>%s</title>\n  <id>%d</id>\n  <revision>\n"
+            b"    <timestamp>2006-03-%02dT%02d:00:00Z</timestamp>\n"
+            b"    <text xml:space=\"preserve\">%s [[Category:%d]]</text>\n"
+            b"  </revision>\n</page>\n"
+            % (title, i, (i % 28) + 1, i % 24, body, i % 97)
+        )
+        i += 1
+    return bytes(out[:n])
+
+
 def make_corpus(total_size: int, seed: int = 20260816) -> list[tuple[str, bytes]]:
     """Generate the synthetic corpus files summing to ~total_size."""
     out = []

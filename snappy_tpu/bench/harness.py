@@ -143,6 +143,59 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
     }
 
 
+def scaling_bench(repeats: int = 2) -> dict:
+    """GB/s scaling efficiency across the local device mesh (BASELINE
+    config 4): decode the same enwik-like block workload on 1 device vs
+    all devices; efficiency = speedup / n_devices.  Skipped (trivially
+    1.0) on a single-chip host."""
+    import jax
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        return {"scaling_devices": n_dev, "scaling_efficiency": None}
+
+    import numpy as np
+
+    from snappy_tpu.bench.corpus import make_enwik_like
+    from snappy_tpu.dist import mesh as dmesh
+    from snappy_tpu.spec.format import read_uvarint
+    from snappy_tpu import native
+
+    B, BMAX, CMAX = 8 * n_dev, 65536, 66560
+    data = make_enwik_like(B * BMAX)
+    comp = np.zeros((B, CMAX), np.uint8)
+    starts = np.zeros(B, np.int32)
+    clens = np.zeros(B, np.int32)
+    dlens = np.full(B, BMAX, np.int32)
+    for i in range(B):
+        c = native.compress(data[i * BMAX : (i + 1) * BMAX])
+        d0, h = read_uvarint(c, 0)
+        comp[i, : len(c)] = np.frombuffer(c, np.uint8)
+        starts[i], clens[i] = h, len(c)
+
+    times = {}
+    for nd in (1, n_dev):
+        mesh = dmesh.make_mesh(nd)
+        dmesh.sharded_decode(mesh, comp, starts, clens, dlens, out_max=BMAX)  # warm
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out, err = dmesh.sharded_decode(
+                mesh, comp, starts, clens, dlens, out_max=BMAX
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        assert (err == 0).all()
+        times[nd] = best
+    eff = (times[1] / times[n_dev]) / n_dev
+    return {
+        "scaling_devices": n_dev,
+        "scaling_time_1dev_s": round(times[1], 4),
+        "scaling_time_ndev_s": round(times[n_dev], 4),
+        "scaling_efficiency": round(eff, 4),
+    }
+
+
 def run_bench(
     size: int = 32 << 20,
     backend: str | None = None,
@@ -205,4 +258,9 @@ def run_bench(
         "transport_note": "e2e numbers include a dev-relay D2H path (~10-40MB/s); device_* numbers are chip-resident",
     }
     result.update(dev)
+    if backend == "jnp":
+        try:
+            result.update(scaling_bench(repeats))
+        except Exception as e:  # pragma: no cover
+            result["scaling_error"] = repr(e)[:200]
     return result

@@ -242,6 +242,10 @@ def main(argv=None) -> int:
     try:
         return args.fn(args)
     except SnappyError as e:
+        # log-and-return at the command boundary (reference LogError idiom)
+        from snappy_tpu.utils.log import log_error
+
+        log_error(e, context=args.cmd)
         print(f"tpusnappy: {e}", file=sys.stderr)
         return exit_code_for(e)
     except FileNotFoundError as e:

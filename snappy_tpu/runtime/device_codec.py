@@ -62,7 +62,7 @@ tune_allocator()
 # Device batch size (blocks per device call).  Overridable for tests and
 # memory tuning; the TPU path wants large batches to amortize dispatch
 # latency (the axon relay costs ~50ms per synchronized call).
-BATCH = int(os.environ.get("SNAPPY_TPU_BATCH", "256"))
+BATCH = int(os.environ.get("SNAPPY_TPU_BATCH", "64"))
 # Streams up to this decoded size use single-shot device decode for the
 # raw format; larger raw streams fall back to the native host decoder
 # (framed streams have no such limit - they are chunked by design).
