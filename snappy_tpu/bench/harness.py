@@ -212,15 +212,24 @@ def run_bench(
     total = sum(len(d) for _, d in files)
     data_all = b"".join(d for _, d in files)
 
+    import sys
+
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     # -- end-to-end framed, through the public API ------------------------
+    note(f"corpus {total/1e6:.0f}MB, backend={backend}; e2e warmup...")
     api.compress_framed(files[0][1][: 1 << 20], backend=backend)  # warmup
+    note("e2e compress...")
     t0 = time.perf_counter()
     framed = [api.compress_framed(d, backend=backend) for _, d in files]
     e2e_comp_t = time.perf_counter() - t0
+    note(f"e2e compress done in {e2e_comp_t:.1f}s; e2e decompress...")
     api.decompress_framed(framed[0], backend=backend)  # warmup
     t0 = time.perf_counter()
     outs = [api.decompress_framed(b, backend=backend) for b in framed]
     e2e_dec_t = time.perf_counter() - t0
+    note(f"e2e decompress done in {e2e_dec_t:.1f}s; device-path phase...")
     for (name, d), o in zip(files, outs):
         assert o == d, f"round-trip mismatch on {name}"
 
@@ -232,6 +241,7 @@ def run_bench(
         except Exception as e:  # pragma: no cover - keep the bench alive
             dev = {"device_path_error": repr(e)[:200]}
 
+    note("ratio parity phase...")
     # -- ratio parity (host np backend: the same parse the device runs) --
     ref_sizes = _ref_sizes(files)
     ours_sizes = {}

@@ -97,26 +97,44 @@ def _find_matches(block_u8, n, bmax: int):
 
     ha, hb = prefix_hashes(block_u8)
     pa_, ipa, pb_, ipb = _pow_tables()
-    rpa = jnp.asarray(pa_[: bmax + 1])
-    rpb = jnp.asarray(pb_[: bmax + 1])
+    ripa = jnp.asarray(ipa[: bmax + 1])
+    ripb = jnp.asarray(ipb[: bmax + 1])
+
+    # Normalized hashes: G[i] = H[i] * R^-i.  Substring equality
+    # [p,p+m) == [c,c+m)  <=>  G[p+m]-G[p] == R^(c-p) * (G[c+m]-G[c]),
+    # so the hot loop needs only TWO row gathers per step (the stacked
+    # (a,b) hash pair), no power-table gathers.  All arithmetic is
+    # mod-2^32 (i32 bit-identical), decisions identical to the direct
+    # formulation — the np/jnp byte contract is unchanged.
+    ga = jax.lax.bitcast_convert_type(ha * ripa, jnp.int32)
+    gb = jax.lax.bitcast_convert_type(hb * ripb, jnp.int32)
+    G = jnp.stack([ga, gb], axis=-1)  # [bmax+1, 2]
 
     maxm = jnp.maximum(n - pos, 0)
 
     def lcp(c, cvalid):
         cc = jnp.clip(c, 0, bmax - 1)
-        ha_p, hb_p = ha[pos], hb[pos]
-        ha_c, hb_c = ha[cc], hb[cc]
+        G0p = G[pos]
+        G0c = G[cc]
+        dist = jnp.clip(pos - cc, 0, bmax)  # p - c >= 1 for real candidates
+        fac = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(ripa[dist], jnp.int32),
+                jax.lax.bitcast_convert_type(ripb[dist], jnp.int32),
+            ],
+            axis=-1,
+        )
 
         def step(i, lo):
             # k = 16 - i; fori_loop keeps the HLO small (compile time)
             trial = lo + (jnp.int32(1) << (16 - i))
             ok = (trial <= maxm) & cvalid
             t = jnp.minimum(trial, maxm)
-            pt = jnp.clip(pos + t, 0, bmax)
-            ct = jnp.clip(cc + t, 0, bmax)
-            eq_a = (ha[pt] - ha_p * rpa[t]) == (ha[ct] - ha_c * rpa[t])
-            eq_b = (hb[pt] - hb_p * rpb[t]) == (hb[ct] - hb_c * rpb[t])
-            return jnp.where(eq_a & eq_b & ok, trial, lo)
+            Gp = G[jnp.clip(pos + t, 0, bmax)]
+            Gc = G[jnp.clip(cc + t, 0, bmax)]
+            eq2 = (Gp - G0p) == fac * (Gc - G0c)
+            eq = eq2[..., 0] & eq2[..., 1] & ok
+            return jnp.where(eq, trial, lo)
 
         return jax.lax.fori_loop(0, 17, step, jnp.full(bmax, 4, dtype=jnp.int32))
 

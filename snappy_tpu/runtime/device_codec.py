@@ -144,6 +144,12 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
         handles.append(encode_jnp.encode_blocks(arr, lens, bmax=bmax))
         counts.append(cnt)
         lens_all.append(lens)
+    # overlap the (slow) D2H fetches: start async copies of the small
+    # outputs for every batch before consuming any
+    for comp, clen, ok in handles:
+        for h in (clen, ok):
+            if hasattr(h, "copy_to_host_async"):
+                h.copy_to_host_async()
     for bi, (comp, clen, ok) in enumerate(handles):
         base = bi * BATCH
         cnt = counts[bi]
@@ -297,6 +303,10 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
                         arr, starts, clens, dlens, out_max=MAX_CHUNK_UNCOMPRESSED
                     )
                 )
+        for res, err in handles:  # overlap the slow D2H fetches
+            for h in (res, err):
+                if hasattr(h, "copy_to_host_async"):
+                    h.copy_to_host_async()
         for bi, (res, err) in enumerate(handles):
             grp = comp_idx[bi * BATCH : (bi + 1) * BATCH]
             err_h = np.asarray(err)
