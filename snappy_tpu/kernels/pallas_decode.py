@@ -21,6 +21,14 @@ Techniques:
 
 Layout: int32 throughout (u8 VMEM tiling + scalar reads are less
 portable across Mosaic versions); the runtime converts at the edges.
+
+STATUS (round 1): bit-exact in interpret mode (tests/test_pallas_decode
+.py).  The build environment's remote Mosaic compile service crashes
+(HTTP 500, helper exit 1) on ANY kernel containing scalar dynamic VMEM
+reads or while-loops with scalar state - including trivial probes - so
+the on-hardware run is blocked on the toolchain, not the kernel design.
+Revisit when the compile service is updated; the XLA jnp decoder
+remains the production path meanwhile.
 """
 
 from __future__ import annotations
@@ -37,24 +45,34 @@ __all__ = ["decode_blocks_pallas"]
 VEC = 128
 
 
+ROWS = 8  # blocks per grid step (TPU sublane divisibility)
+
+
 def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref):
-    i = pl.program_id(0)
+    base = pl.program_id(0) * ROWS
+    for row in range(ROWS):
+        _decode_row(
+            row, starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref,
+            base,
+        )
+
+
+def _decode_row(row, starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref, base):
+    i = base + row
     start = starts_ref[i]
     comp_len = clens_ref[i]
     dst_len = dlens_ref[i]
 
-    cmax = comp_ref.shape[1]
-
     def rd(idx):
-        return comp_ref[0, idx]
+        return comp_ref[row, idx]
 
     def vec_copy_fwd(src_base, dst_base, nbytes):
         """Copy nbytes (rounded up to VEC) comp->out."""
         nvec = (nbytes + VEC - 1) // VEC
 
         def body(k, _):
-            out_ref[0, pl.ds(dst_base + k * VEC, VEC)] = comp_ref[
-                0, pl.ds(src_base + k * VEC, VEC)
+            out_ref[row, pl.ds(dst_base + k * VEC, VEC)] = comp_ref[
+                row, pl.ds(src_base + k * VEC, VEC)
             ]
             return 0
 
@@ -64,8 +82,8 @@ def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref):
         nvec = (nbytes + VEC - 1) // VEC
 
         def body(k, _):
-            out_ref[0, pl.ds(dst_base + k * VEC, VEC)] = out_ref[
-                0, pl.ds(src_base + k * VEC, VEC)
+            out_ref[row, pl.ds(dst_base + k * VEC, VEC)] = out_ref[
+                row, pl.ds(src_base + k * VEC, VEC)
             ]
             return 0
 
@@ -73,7 +91,7 @@ def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref):
 
     def byte_copy_self(src_base, dst_base, nbytes):
         def body(k, _):
-            out_ref[0, dst_base + k] = out_ref[0, src_base + k]
+            out_ref[row, dst_base + k] = out_ref[row, src_base + k]
             return 0
 
         jax.lax.fori_loop(0, nbytes, body, 0)
@@ -163,7 +181,7 @@ def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref):
     )
     err = jnp.where((err == 0) & (d_end != dst_len), jnp.int32(3), err)
     err = jnp.where((err == 0) & (s_end != comp_len), jnp.int32(4), err)
-    err_ref[0] = err
+    err_ref[i] = err
 
 
 @functools.partial(
@@ -174,16 +192,17 @@ def decode_blocks_pallas(comp_i32, starts, clens, dlens, out_max: int,
     """comp_i32: int32[B, CMAX+pad] byte values; returns
     (out int32[B, out_max+pad], err int32[B])."""
     B, cmax = comp_i32.shape
+    assert B % ROWS == 0, f"batch must be a multiple of {ROWS}"
     opad = out_max + 2 * VEC
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B,),
+        grid=(B // ROWS,),
         in_specs=[
-            pl.BlockSpec((1, cmax), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, cmax), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, opad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i, *_: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWS, opad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
     )
     out, err = pl.pallas_call(

@@ -11,6 +11,12 @@ from snappy_tpu.spec.format import read_uvarint
 
 
 def _stage(streams, cmax, dlens_override=None):
+    # pad the batch to the kernel's ROWS granularity with empty streams
+    from snappy_tpu.kernels.pallas_decode import ROWS
+
+    streams = list(streams)
+    while len(streams) % ROWS:
+        streams.append(b"\x00")
     B = len(streams)
     comp = np.zeros((B, cmax + 2 * VEC), np.int32)
     starts = np.zeros(B, np.int32)
@@ -54,11 +60,12 @@ def test_error_codes():
         b"\x05\x0cabcd" + bytes([(60 << 2) | 2, 1, 0]),  # overruns output
         b"\x0a\x24abc",                               # truncated literal
     ]
+    n_bad = len(bad_streams)
     comp, starts, clens, dlens = _stage(bad_streams, 1024)
     out, err = decode_blocks_pallas(
         comp, starts, clens, dlens, out_max=1024, interpret=True
     )
-    assert (np.asarray(err) != 0).all(), np.asarray(err)
+    assert (np.asarray(err)[:n_bad] != 0).all(), np.asarray(err)
 
 
 def test_agreement_with_oracle_fuzz(rng):
