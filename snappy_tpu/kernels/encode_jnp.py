@@ -112,37 +112,43 @@ def _find_matches(block_u8, n, bmax: int):
 
     maxm = jnp.maximum(n - pos, 0)
 
-    def lcp(c, cvalid):
-        cc = jnp.clip(c, 0, bmax - 1)
-        G0p = G[pos]
-        G0c = G[cc]
-        dist = jnp.clip(pos - cc, 0, bmax)  # p - c >= 1 for real candidates
-        fac = jnp.stack(
-            [
-                jax.lax.bitcast_convert_type(ripa[dist], jnp.int32),
-                jax.lax.bitcast_convert_type(ripb[dist], jnp.int32),
-            ],
-            axis=-1,
-        )
+    # All three candidates share one stacked binary search ([3, bmax]):
+    # same decisions as three separate searches, a third of the gather
+    # dispatches (gathers are the expensive primitive).
+    C = jnp.stack(cands)  # [3, bmax]
+    CV = valid[None, :] & (C >= 0) & (C < n - 3)
+    CC = jnp.clip(C, 0, bmax - 1)
+    pos3 = jnp.broadcast_to(pos, C.shape)
+    maxm3 = jnp.broadcast_to(maxm, C.shape)
+    G0p = G[pos3]
+    G0c = G[CC]
+    dist = jnp.clip(pos3 - CC, 0, bmax)  # p - c >= 1 for real candidates
+    fac = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(ripa[dist], jnp.int32),
+            jax.lax.bitcast_convert_type(ripb[dist], jnp.int32),
+        ],
+        axis=-1,
+    )
 
-        def step(i, lo):
-            # k = 16 - i; fori_loop keeps the HLO small (compile time)
-            trial = lo + (jnp.int32(1) << (16 - i))
-            ok = (trial <= maxm) & cvalid
-            t = jnp.minimum(trial, maxm)
-            Gp = G[jnp.clip(pos + t, 0, bmax)]
-            Gc = G[jnp.clip(cc + t, 0, bmax)]
-            eq2 = (Gp - G0p) == fac * (Gc - G0c)
-            eq = eq2[..., 0] & eq2[..., 1] & ok
-            return jnp.where(eq, trial, lo)
+    def step(i, lo):
+        # k = 16 - i; fori_loop keeps the HLO small (compile time)
+        trial = lo + (jnp.int32(1) << (16 - i))
+        ok = (trial <= maxm3) & CV
+        t = jnp.minimum(trial, maxm3)
+        Gp = G[jnp.clip(pos3 + t, 0, bmax)]
+        Gc = G[jnp.clip(CC + t, 0, bmax)]
+        eq2 = (Gp - G0p) == fac * (Gc - G0c)
+        eq = eq2[..., 0] & eq2[..., 1] & ok
+        return jnp.where(eq, trial, lo)
 
-        return jax.lax.fori_loop(0, 17, step, jnp.full(bmax, 4, dtype=jnp.int32))
+    ml3 = jax.lax.fori_loop(0, 17, step, jnp.full(C.shape, 4, dtype=jnp.int32))
+    ml3 = jnp.where(CV, ml3, 0)
 
     best_c = jnp.full(bmax, -1, dtype=jnp.int32)
     best_l = jnp.zeros(bmax, dtype=jnp.int32)
-    for c in cands:
-        cvalid = valid & (c >= 0) & (c < n - 3)
-        mlk = jnp.where(cvalid, lcp(c, cvalid), 0)
+    for k in range(3):
+        c, mlk, cvalid = C[k], ml3[k], CV[k]
         better = mlk > best_l
         tie = (mlk == best_l) & (c > best_c) & cvalid
         upd = better | tie
