@@ -1,26 +1,70 @@
 #!/usr/bin/env python
 """Driver benchmark entry point: prints ONE JSON line.
 
-Runs the framed codec over the synthetic Silesia corpus on the default
-platform (the real TPU chip under axon; CPU if forced) and reports
-decompress GB/s/chip as the headline metric, with compress GB/s, ratio,
-and ratio-parity fields alongside.  vs_baseline is value / 20 GB/s (the
-BASELINE north-star decompress target).
+Runs the framed codec over the synthetic Silesia corpus and reports
+decompress GB/s/chip as the headline metric (device-resident timing),
+with end-to-end, compress, ratio-parity, and scaling fields alongside.
+vs_baseline is value / 20 GB/s (the BASELINE north-star decompress
+target).
+
+The TPU here sits behind a relay that can wedge (worker crashes leave
+dead claims); the device is probed in a subprocess first and the bench
+falls back to the CPU platform - honestly labeled - rather than
+hanging the driver.
 """
 
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_PROBE = (
+    "import jax, jax.numpy as jnp, numpy as np;"
+    "x = jnp.ones((128, 128));"
+    "print('ALIVE', float(np.asarray((x @ x)[0, 0])))"
+)
+
+
+def _device_alive(timeout_s: int = 180) -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+        return "ALIVE" in r.stdout
+    except Exception:
+        return False
+
 
 def main() -> int:
-    size = int(os.environ.get("SNAPPY_TPU_BENCH_BYTES", str(64 << 20)))
-    repeats = int(os.environ.get("SNAPPY_TPU_BENCH_REPEATS", "3"))
+    size = int(os.environ.get("SNAPPY_TPU_BENCH_BYTES", str(32 << 20)))
+    repeats = int(os.environ.get("SNAPPY_TPU_BENCH_REPEATS", "2"))
+
+    platform = os.environ.get("JAX_PLATFORMS", "default")
+    fallback = False
+    if platform != "cpu" and not _device_alive():
+        fallback = True
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     from snappy_tpu.bench.harness import run_bench
 
     result = run_bench(size=size, repeats=repeats)
+    import jax
+
+    result["platform"] = jax.devices()[0].platform
+    if fallback:
+        result["platform_note"] = (
+            "TPU relay unresponsive at bench time; measured on CPU fallback"
+        )
     print(json.dumps(result))
     return 0
 
