@@ -213,7 +213,27 @@ def _parse(cand, ml, n, lazy: bool, bmax: int, cp_max: int):
         keep = cvalid & ~elig
         cpos, clen, coff, nc = compact(keep, cpos, clen, coff, False)
 
+    # start-shift alignment pass (see encode_np._shift_starts): shifting
+    # a copy's start by d grows the preceding literal but can drop a
+    # whole chop tag; each copy decides independently (ends are fixed).
     cvalid = kidx < nc
+    prev_end0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.where(cvalid, cpos + clen, bmax)]
+    )[:cp_max]
+    a0 = jnp.where(cvalid, cpos - prev_end0, 0)
+    _, _, _, ccost0 = _copy_chops(coff, clen)
+    best_d = jnp.zeros(cp_max, jnp.int32)
+    best_cost = _lit_cost_v(a0) + ccost0
+    for d in (1, 2, 3):
+        ok = cvalid & (clen - d >= 4)
+        _, _, _, ccost_d = _copy_chops(coff, clen - d)
+        cost = _lit_cost_v(a0 + d) + ccost_d
+        upd = ok & (cost < best_cost)
+        best_d = jnp.where(upd, jnp.int32(d), best_d)
+        best_cost = jnp.where(upd, cost, best_cost)
+    cpos = jnp.where(cvalid, cpos + best_d, cpos)
+    clen = jnp.where(cvalid, clen - best_d, clen)
+
     pend = jnp.where(cvalid, cpos + clen, 0)
     prev_end = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.where(cvalid, cpos + clen, bmax)])[:cp_max]
     a = jnp.where(cvalid, cpos - prev_end, 0)

@@ -250,6 +250,42 @@ def _prune(pr: ParseResult) -> ParseResult:
     return ParseResult(elems)
 
 
+def _shift_starts(pr: ParseResult) -> ParseResult:
+    """Copy-start alignment pass: for each copy, shifting its start by
+    d in {1,2,3} (growing/creating the preceding literal, end fixed) can
+    remove a whole chop tag when the reference chopping's remainder
+    lands in 65..67.  Each copy decides independently (its end — and
+    thus every later element — is unchanged)."""
+    elems = pr.elems
+    out: list[tuple[int, int, int]] = []
+    pos = 0
+    for e in elems:
+        if e[0] != 1:
+            out.append(e)
+            pos += e[2]
+            continue
+        off, ln = e[1], e[2]
+        prev_lit = out[-1] if out and out[-1][0] == 0 else None
+        a = prev_lit[2] if prev_lit else 0
+        best_d, best_cost = 0, _lit_cost(a) + _copy_cost(off, ln)
+        for d in (1, 2, 3):
+            if ln - d < 4:
+                break
+            cost = _lit_cost(a + d) + _copy_cost(off, ln - d)
+            if cost < best_cost:
+                best_d, best_cost = d, cost
+        if best_d:
+            if prev_lit:
+                out[-1] = (0, prev_lit[1], a + best_d)
+            else:
+                out.append((0, pos, best_d))
+            out.append((1, off, ln - best_d))
+        else:
+            out.append(e)
+        pos += ln
+    return ParseResult(out)
+
+
 def _verify(block_u8: np.ndarray, pr: ParseResult) -> bool:
     """Exact check that every copy's bytes really match (vectorized)."""
     n = len(block_u8)
@@ -299,7 +335,7 @@ def encode_block_np(block: bytes) -> bytes:
     best: ParseResult | None = None
     best_size = None
     for lazy in (False, True):
-        pr = _prune(_parse(n, cand, ml, lazy))
+        pr = _shift_starts(_prune(_parse(n, cand, ml, lazy)))
         s = pr.size()
         if best_size is None or s < best_size:
             best, best_size = pr, s
