@@ -207,12 +207,18 @@ def decode_block_jnp(comp_bytes: bytes, dst_len: int, start: int = 0) -> bytes:
     comp = np.zeros((1, cmax), dtype=np.uint8)
     comp[0, :n] = np.frombuffer(comp_bytes, dtype=np.uint8)
     out_max = _bucket(max(8, dst_len))
+    # doubling-round bounds scale with the stream size (large raw
+    # streams can have >2^17 elements / copy-chain depth); the loops
+    # early-exit, so generous bounds cost nothing on typical data
+    rounds = max(17, cmax.bit_length() + 1, out_max.bit_length() + 1)
     out, err = decode_blocks(
         jnp.asarray(comp),
         jnp.array([start], jnp.int32),
         jnp.array([n], jnp.int32),
         jnp.array([dst_len], jnp.int32),
         out_max=out_max,
+        tag_rounds=rounds,
+        ptr_rounds=rounds,
     )
     err_code = int(err[0])
     if err_code != ERR_NONE:
