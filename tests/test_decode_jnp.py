@@ -116,3 +116,24 @@ def test_error_parity_fuzz(rng):
             assert got == want
             agree += 1
     assert agree >= 1  # at least some mutations must still decode
+
+
+def test_large_raw_stream_many_elements():
+    """>2^17 elements and deep copy chains must still resolve (doubling
+    round bounds scale with the stream size)."""
+    from snappy_tpu.spec.format import put_uvarint, read_uvarint
+
+    N = 200000
+    payload = bytearray()
+    expect = bytearray()
+    for i in range(N):
+        payload += bytes([0x00, i & 0xFF])
+        expect.append(i & 0xFF)
+    stream = put_uvarint(N) + bytes(payload)
+    got = decode_jnp.decode_block_jnp(stream, N, start=len(put_uvarint(N)))
+    assert got == bytes(expect)
+
+    data = b"Q" * 300000
+    stream2 = reference.compress(data)
+    d, h = read_uvarint(stream2, 0)
+    assert decode_jnp.decode_block_jnp(stream2, d, start=h) == data
