@@ -208,7 +208,8 @@ def _parse(cand, ml, n, lazy: bool, bmax: int, cp_max: int):
             cvalid
             & ~prev_is_copy
             & ~next_is_copy
-            & (_lit_cost_v(a + clen + b_gap) < _lit_cost_v(a) + ccost + _lit_cost_v(b_gap))
+            # <= (not <): see encode_np._prune - tied drops merge literals
+            & (_lit_cost_v(a + clen + b_gap) <= _lit_cost_v(a) + ccost + _lit_cost_v(b_gap))
         )
         keep = cvalid & ~elig
         cpos, clen, coff, nc = compact(keep, cpos, clen, coff, False)

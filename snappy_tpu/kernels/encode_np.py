@@ -224,8 +224,11 @@ def _prune(pr: ParseResult) -> ParseResult:
             a = elems[i - 1][2] if i > 0 else 0
             b = elems[i + 1][2] if i + 1 < len(elems) else 0
             off, l = e[1], e[2]
+            # <=: dropping on ties is free pairwise and strictly wins when
+            # adjacent tied copies drop together (literal merging is
+            # superadditive: lit(a)+lit(b) >= lit(a+b))
             eligible.append(
-                _lit_cost(a + l + b) < _lit_cost(a) + _copy_cost(off, l) + _lit_cost(b)
+                _lit_cost(a + l + b) <= _lit_cost(a) + _copy_cost(off, l) + _lit_cost(b)
             )
         if not any(eligible):
             break
