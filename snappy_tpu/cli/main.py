@@ -127,7 +127,8 @@ def cmd_decompress(args) -> int:
 
 def cmd_verify(args) -> int:
     """Integrity check without writing output (CRC per chunk for framed;
-    full decode for raw)."""
+    full decode for raw; optional whole-file digest — the reference's
+    hashes.yaml sha-512 manifest capability, SURVEY.md §9)."""
     from snappy_tpu import api
 
     data = _read(args.file)
@@ -141,6 +142,10 @@ def cmd_verify(args) -> int:
         print(f"{args.file}: FAILED: {e}", file=sys.stderr)
         return exit_code_for(e)
     print(f"{args.file}: OK ({fmt}, {len(data)} -> {len(out)} bytes)")
+    if getattr(args, "digest", False):
+        import hashlib
+
+        print(f"sha512(uncompressed) = {hashlib.sha512(out).hexdigest()}")
     return 0
 
 
@@ -227,6 +232,8 @@ def main(argv=None) -> int:
 
     v = sub.add_parser("verify", help="integrity-check a stream", parents=[common])
     v.add_argument("file")
+    v.add_argument("--digest", action="store_true",
+                   help="print sha-512 of the decoded bytes")
     v.set_defaults(fn=cmd_verify)
 
     i = sub.add_parser("info", help="describe a stream", parents=[common])
