@@ -277,14 +277,23 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
         handles = []
         for base in range(0, len(comp_idx), BATCH):
             grp = comp_idx[base : base + BATCH]
-            arr = np.zeros((BATCH, _DECODE_CMAX), dtype=np.uint8)
+            # bucket the compressed-row width to the batch's needs: the
+            # decoder's tag machinery scales with CMAX, and compressible
+            # chunks are typically 2-5x smaller than the worst case
+            batch_kmax = max((chunks[i][2] for i in grp), default=0)
+            cmax = _DECODE_CMAX
+            for bucket in (16640, 33280):
+                if batch_kmax <= bucket:
+                    cmax = bucket
+                    break
+            arr = np.zeros((BATCH, cmax), dtype=np.uint8)
             starts = np.zeros(BATCH, dtype=np.int32)
             clens = np.zeros(BATCH, dtype=np.int32)
             dlens = np.zeros(BATCH, dtype=np.int32)
             want = np.zeros(BATCH, dtype=np.uint32)
             for row, i in enumerate(grp):
                 _, p_off, p_len, crc, dst_len, hdr = chunks[i]
-                if p_len > _DECODE_CMAX:
+                if p_len > cmax:
                     raise CorruptError("compressed chunk implausibly large")
                 arr[row, :p_len] = src_arr[p_off : p_off + p_len]
                 starts[row] = hdr
