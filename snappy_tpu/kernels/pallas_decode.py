@@ -24,11 +24,13 @@ portable across Mosaic versions); the runtime converts at the edges.
 
 STATUS (round 1): bit-exact in interpret mode (tests/test_pallas_decode
 .py).  The build environment's remote Mosaic compile service crashes
-(HTTP 500, helper exit 1) on ANY kernel containing scalar dynamic VMEM
-reads or while-loops with scalar state - including trivial probes - so
-the on-hardware run is blocked on the toolchain, not the kernel design.
-Revisit when the compile service is updated; the XLA jnp decoder
-remains the production path meanwhile.
+(HTTP 500, helper exit 1) on the exact constructs every sequential
+decoder needs - narrowed by minimal probes to: (a) ANY dynamic-start
+pl.ds load/store (static starts compile fine), (b) ANY
+jax.lax.while_loop, (c) scalar reads from VMEM, (d) DMA into SMEM
+scratch.  The on-hardware run is blocked on the toolchain, not the
+kernel design or the hardware.  Revisit when the compile service is
+updated; the XLA jnp decoder remains the production path meanwhile.
 """
 
 from __future__ import annotations
