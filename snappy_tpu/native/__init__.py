@@ -95,6 +95,12 @@ def _load():
         ]
         lib.sn_decompress.restype = ctypes.c_int
         lib.sn_decompress.argtypes = [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.sn_parse_tags.restype = ctypes.c_int64
+        lib.sn_parse_tags.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            i32p, ctypes.c_uint64,
+        ]
         lib.sn_compress_framed.restype = ctypes.c_int64
         lib.sn_compress_framed.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int,
@@ -149,6 +155,23 @@ def decompress(data: bytes) -> bytes:
     if rc != SN_OK:
         _raise(rc)
     return dst[: want.value].tobytes()
+
+
+def parse_tags(
+    data: bytes, start: int, dst_len: int, rec: np.ndarray
+) -> int:
+    """Pre-parse an element stream into fixed-width records (see
+    sn_parse_tags).  rec: int32[(max_tags, 4)] contiguous.  Returns the
+    element count; raises on corrupt streams."""
+    lib = _load()
+    src = _to_arr(data)
+    rc = lib.sn_parse_tags(
+        _as_u8p(src), len(data), start, dst_len,
+        rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), rec.shape[0],
+    )
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc)
 
 
 def compress_framed(data: bytes, chunk_size: int = 65536, threads: int = 0) -> bytes:

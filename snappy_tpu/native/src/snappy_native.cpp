@@ -334,6 +334,84 @@ int sn_decode_block(const uint8_t* src, uint64_t n, uint64_t s, uint8_t* dst,
   return SN_OK;
 }
 
+// Tag pre-parse for the hybrid device decoder: walk the element stream
+// once (validating), emitting one fixed-width record per element:
+//   rec[4*k+0] = kind        (0 literal, 1 copy)
+//   rec[4*k+1] = out_len
+//   rec[4*k+2] = offset      (copies) / literal byte position in src (lits)
+//   rec[4*k+3] = out_start   (exclusive scan of out_len)
+// Returns the element count, or a negative error.  The device kernel
+// then skips tag-boundary discovery entirely (SURVEY.md §7.3.1).
+int64_t sn_parse_tags(const uint8_t* src, uint64_t n, uint64_t s,
+                      uint64_t dst_len, int32_t* rec, uint64_t max_tags) {
+  uint64_t d = 0, k = 0;
+  while (s < n) {
+    if (k >= max_tags) return SN_ERR_BUFFER;
+    uint32_t tag = src[s] & 3;
+    uint64_t length, offset, lit_src = 0;
+    if (tag == 0) {
+      uint32_t x = src[s] >> 2;
+      if (x < 60) {
+        s += 1;
+      } else if (x == 60) {
+        s += 2;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 1];
+      } else if (x == 61) {
+        s += 3;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 2] | ((uint32_t)src[s - 1] << 8);
+      } else if (x == 62) {
+        s += 4;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 3] | ((uint32_t)src[s - 2] << 8) | ((uint32_t)src[s - 1] << 16);
+      } else {
+        s += 5;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 4] | ((uint32_t)src[s - 3] << 8) | ((uint32_t)src[s - 2] << 16) |
+            ((uint32_t)src[s - 1] << 24);
+      }
+      length = (uint64_t)x + 1;
+      if (length > dst_len - d || length > n - s) return SN_ERR_CORRUPT;
+      lit_src = s;
+      s += length;
+      rec[4 * k + 0] = 0;
+      rec[4 * k + 1] = (int32_t)length;
+      rec[4 * k + 2] = (int32_t)lit_src;
+      rec[4 * k + 3] = (int32_t)d;
+      d += length;
+      k++;
+      continue;
+    } else if (tag == 1) {
+      s += 2;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 4 + ((src[s - 2] >> 2) & 7);
+      offset = ((uint64_t)(src[s - 2] & 0xe0) << 3) | src[s - 1];
+    } else if (tag == 2) {
+      s += 3;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 3] >> 2);
+      offset = src[s - 2] | ((uint64_t)src[s - 1] << 8);
+    } else {
+      s += 5;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 5] >> 2);
+      offset = src[s - 4] | ((uint64_t)src[s - 3] << 8) | ((uint64_t)src[s - 2] << 16) |
+               ((uint64_t)src[s - 1] << 24);
+    }
+    if (offset == 0 || d < offset) return SN_ERR_CORRUPT;
+    if (length > dst_len - d) return SN_ERR_CORRUPT;
+    rec[4 * k + 0] = 1;
+    rec[4 * k + 1] = (int32_t)length;
+    rec[4 * k + 2] = (int32_t)offset;
+    rec[4 * k + 3] = (int32_t)d;
+    d += length;
+    k++;
+  }
+  if (d != dst_len) return SN_ERR_CORRUPT;
+  return (int64_t)k;
+}
+
 int sn_decompress(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t dst_len) {
   uint64_t want = 0;
   int hdr = sn_uncompressed_length(src, n, &want);

@@ -87,6 +87,23 @@ def _decode_and_crc(arr, starts, clens, dlens, want_crc, out_max: int):
     return out, err
 
 
+@functools.partial(jax.jit, static_argnames=("out_max",))
+def _decode_pretagged_and_crc(arr, recs, ntags, dlens, want_crc, out_max: int):
+    """Hybrid path: host-validated tag records, device byte
+    materialization + CRC verify (err 0 ok / 100 checksum)."""
+    from snappy_tpu.kernels.decode_pretagged import decode_blocks_pretagged
+
+    out = decode_blocks_pretagged(arr, recs, ntags, dlens, out_max=out_max)
+    crc = crc32c_chunks(out, dlens)
+    err = jnp.where(crc != want_crc, jnp.int32(100), jnp.int32(0))
+    return out, err
+
+
+# Host-side tag parsing (native C++) feeding the lighter device kernel;
+# the pure-device path remains for environments without the native lib.
+HOST_PARSE = os.environ.get("SNAPPY_TPU_HOST_PARSE", "1") != "0"
+
+
 def _crc32c_host(view) -> int:
     from snappy_tpu import native
 
@@ -274,6 +291,10 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
         use_dev_crc = (
             verify_checksums and DEVICE_CRC and MAX_CHUNK_UNCOMPRESSED == _CRC_CHUNK
         )
+        from snappy_tpu import native as _native
+
+        use_host_parse = HOST_PARSE and use_dev_crc and _native.available()
+        _T_CAP = 33024  # max elements per 64KiB chunk (2 bytes each min)
         handles = []
         for base in range(0, len(comp_idx), BATCH):
             grp = comp_idx[base : base + BATCH]
@@ -300,7 +321,34 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
                 clens[row] = p_len
                 dlens[row] = dst_len
                 want[row] = unmask_crc(crc)
-            if use_dev_crc:
+            if use_host_parse:
+                # hybrid: validate + tag-parse on host (native C++),
+                # device does only the per-byte materialization + CRC
+                tmp = np.empty((_T_CAP, 4), dtype=np.int32)
+                parsed = []
+                t_batch = 1
+                for row, i in enumerate(grp):
+                    _, p_off, p_len, crc, dst_len, hdr = chunks[i]
+                    nt = _native.parse_tags(
+                        src_arr[p_off : p_off + p_len].tobytes(), hdr, dst_len, tmp
+                    )
+                    parsed.append(np.array(tmp[:nt]))
+                    t_batch = max(t_batch, nt)
+                t_cap = 2048
+                while t_cap < t_batch:
+                    t_cap *= 2
+                t_cap = min(t_cap, _T_CAP)
+                recs = np.zeros((BATCH, t_cap, 4), dtype=np.int32)
+                ntags = np.zeros(BATCH, dtype=np.int32)
+                for row, p in enumerate(parsed):
+                    recs[row, : len(p)] = p
+                    ntags[row] = len(p)
+                handles.append(
+                    _decode_pretagged_and_crc(
+                        arr, recs, ntags, dlens, want, out_max=MAX_CHUNK_UNCOMPRESSED
+                    )
+                )
+            elif use_dev_crc:
                 handles.append(
                     _decode_and_crc(
                         arr, starts, clens, dlens, want, out_max=MAX_CHUNK_UNCOMPRESSED
