@@ -104,6 +104,44 @@ def mark_orbit(nxt: jnp.ndarray, start: jnp.ndarray, rounds: int) -> jnp.ndarray
     return mark[:size]
 
 
+def mark_orbits2(nxt2: jnp.ndarray, start: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    """mark_orbit for TWO successor functions in one doubling loop.
+
+    nxt2: int32[2, size] with values in [p+1, size] (size = absorbing).
+    Rows are laid out flat with one sentinel slot between them so jumps
+    cannot leak across rows; returns bool[2, size].  Halves the gather
+    rounds vs two separate orbit calls (the parse runs greedy and lazy
+    strategies over the same match data)."""
+    size = nxt2.shape[1]
+    w = size + 1  # row stride; slot `size` within each row absorbs
+    flat = jnp.clip(nxt2, 0, size) + jnp.array([[0], [w]], jnp.int32)
+    jump = jnp.concatenate(
+        [flat[0], jnp.array([size]), flat[1], jnp.array([w + size])]
+    )
+    # absorbing slots: size and w+size point to themselves
+    jump = jump.at[size].set(size).at[w + size].set(w + size)
+    mark = jnp.zeros(2 * w, dtype=bool)
+    mark = mark.at[jnp.clip(start, 0, size)].set(True)
+    mark = mark.at[w + jnp.clip(start, 0, size)].set(True)
+
+    def cond(state):
+        i, changed, mark, jump = state
+        return changed & (i < rounds)
+
+    def body(state):
+        i, _, mark, jump = state
+        targets = jnp.where(mark, jump, size)  # size absorbs row-0 junk
+        new_mark = mark.at[targets].max(mark, mode="drop")
+        changed = jnp.any(new_mark != mark)
+        jump = jump[jnp.clip(jump, 0, 2 * w - 1)]
+        return i + 1, changed, new_mark, jump
+
+    _, _, mark, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(True), mark, jump)
+    )
+    return jnp.stack([mark[:size], mark[w : w + size]])
+
+
 def resolve_pointers(ptr: jnp.ndarray, rounds: int) -> jnp.ndarray:
     """Pointer doubling until every entry is negative (literal-resolved).
     Negative entries are terminal; non-negative entries chase ptr[ptr].

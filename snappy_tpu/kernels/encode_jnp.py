@@ -30,7 +30,7 @@ from snappy_tpu.kernels.common_jnp import (
     _pow_tables,
     bytes_to_u32_words,
     exclusive_cumsum,
-    mark_orbit,
+    mark_orbits2,
     prefix_hashes,
     shifted,
 )
@@ -158,22 +158,23 @@ def _find_matches(block_u8, n, bmax: int):
     return best_c, best_l
 
 
-def _parse(cand, ml, n, lazy: bool, bmax: int, cp_max: int):
-    """Successor walk -> compacted, pruned copy arrays + total size."""
+def _parse_masks(cand, ml, n, bmax: int):
+    """Taken-copy masks for BOTH strategies via one fused orbit loop."""
     pos = jnp.arange(bmax, dtype=jnp.int32)
     ml_next = shifted(ml, 1)
-    if lazy:
-        defer = ml_next > ml + 1
-    else:
-        defer = jnp.zeros(bmax, dtype=bool)
-    takeable = (ml >= 4) & ~defer & (pos >= 1) & (pos < n)
-    step = jnp.where(takeable, ml, 1)
-    nxt = jnp.minimum(pos + step, bmax)
-    visited = mark_orbit(nxt, jnp.int32(1), 17)
-    taken = visited & takeable
+    takeable_g = (ml >= 4) & (pos >= 1) & (pos < n)
+    defer = ml_next > ml + 1
+    takeable_l = takeable_g & ~defer
+    nxt_g = jnp.minimum(pos + jnp.where(takeable_g, ml, 1), bmax)
+    nxt_l = jnp.minimum(pos + jnp.where(takeable_l, ml, 1), bmax)
+    marks = mark_orbits2(jnp.stack([nxt_g, nxt_l]), jnp.int32(1), 17)
+    return marks[0] & takeable_g, marks[1] & takeable_l
 
-    cidx = jnp.cumsum(taken.astype(jnp.int32)) - 1
-    nc0 = jnp.sum(taken.astype(jnp.int32))
+
+def _parse(taken, cand, ml, n, bmax: int, cp_max: int):
+    """Compaction + prune + alignment + size for one strategy's taken
+    mask (see _parse_masks)."""
+    pos = jnp.arange(bmax, dtype=jnp.int32)
 
     def compact(keep_mask, kpos, klen, koff, from_positions: bool):
         if from_positions:
@@ -375,8 +376,9 @@ def _verify(block_u8, n, cpos, clen, coff, nc, bmax: int, cp_max: int):
 
 def _encode_one(block_u8, n, bmax: int, cp_max: int, atom_max: int, emax: int):
     cand, ml = _find_matches(block_u8, n, bmax)
-    g = _parse(cand, ml, n, False, bmax, cp_max)
-    l = _parse(cand, ml, n, True, bmax, cp_max)
+    taken_g, taken_l = _parse_masks(cand, ml, n, bmax)
+    g = _parse(taken_g, cand, ml, n, bmax, cp_max)
+    l = _parse(taken_l, cand, ml, n, bmax, cp_max)
     use_lazy = l[4] < g[4]
 
     def sel(i):
