@@ -44,16 +44,28 @@ def plan_ranges(total_bytes: int, num_hosts: int,
 
 def gather_lengths(local_lengths: np.ndarray) -> np.ndarray:
     """Allgather per-chunk compressed lengths across hosts (the single
-    DCN collective of the codec).  Single-process: identity."""
+    DCN collective of the codec).  Single-process: identity.
+
+    Hosts own different chunk counts (balanced within one), and
+    process_allgather requires uniform shapes, so the counts are
+    exchanged first and the payload is padded to the max."""
     import jax
 
     if jax.process_count() == 1:
         return local_lengths
     from jax.experimental import multihost_utils
 
-    return np.concatenate(
-        multihost_utils.process_allgather(local_lengths, tiled=False)
+    local = np.asarray(local_lengths, dtype=np.int64)
+    counts = multihost_utils.process_allgather(
+        np.array([len(local)], dtype=np.int64), tiled=False
+    ).reshape(-1)
+    cap = int(counts.max())
+    padded = np.zeros(cap, dtype=np.int64)
+    padded[: len(local)] = local
+    gathered = multihost_utils.process_allgather(padded, tiled=False).reshape(
+        len(counts), cap
     )
+    return np.concatenate([gathered[h, : counts[h]] for h in range(len(counts))])
 
 
 def host_compress_framed(data_local: bytes, chunk_start: int,
