@@ -278,6 +278,17 @@ def _scan_frames(src: bytes):
     return chunks, total
 
 
+def _host_decompress_raw(payload: bytes) -> bytes:
+    """Host decode of one raw snappy stream (varint preamble + elements)."""
+    from snappy_tpu import native
+
+    if native.available():
+        return native.decompress(payload)
+    from snappy_tpu.kernels import decode_np
+
+    return decode_np.decompress(payload)
+
+
 def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
     chunks, total = _scan_frames(data)
     out = np.empty(max(1, total), dtype=np.uint8)
@@ -290,7 +301,18 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
         dst_offs.append(acc)
         acc += ch[4]
 
-    comp_idx = [i for i, ch in enumerate(chunks) if ch[0] == CHUNK_COMPRESSED]
+    all_comp = [i for i, ch in enumerate(chunks) if ch[0] == CHUNK_COMPRESSED]
+    # The format allows payloads up to ~2x the decoded size (1-byte
+    # literals are 2 bytes each); payloads beyond the device row width
+    # are valid but rare — decode those on host instead of raising.
+    host_idx = {i for i in all_comp if chunks[i][2] > _DECODE_CMAX}
+    comp_idx = [i for i in all_comp if i not in host_idx]
+    for i in sorted(host_idx):
+        _, p_off, p_len, crc, dst_len, hdr = chunks[i]
+        blob = _host_decompress_raw(bytes(src_arr[p_off : p_off + p_len]))
+        if len(blob) != dst_len:
+            raise CorruptError("chunk preamble disagrees with decoded size")
+        out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(blob, dtype=np.uint8)
     # uncompressed chunks: straight copies
     for i, ch in enumerate(chunks):
         if ch[0] == CHUNK_UNCOMPRESSED:
@@ -305,7 +327,12 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
         from snappy_tpu import native as _native
 
         use_host_parse = HOST_PARSE and use_dev_crc and _native.available()
-        _T_CAP = 33024  # max elements per 64KiB chunk (2 bytes each min)
+        # Max elements per chunk: every element is >= 2 payload bytes
+        # (1-byte-literal tag+data, or a 1-byte-offset copy), so a
+        # p_len <= _DECODE_CMAX payload holds at most _DECODE_CMAX//2
+        # elements; +2 slack.  Guarantees sn_parse_tags never sees a
+        # too-small record buffer on a valid stream.
+        _T_CAP = _DECODE_CMAX // 2 + 2
         handles = []
         for base in range(0, len(comp_idx), BATCH):
             grp = comp_idx[base : base + BATCH]
@@ -393,7 +420,7 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
     if verify_checksums:
         dev_checked = DEVICE_CRC and MAX_CHUNK_UNCOMPRESSED == _CRC_CHUNK
         for i, ch in enumerate(chunks):
-            if dev_checked and ch[0] == CHUNK_COMPRESSED:
+            if dev_checked and ch[0] == CHUNK_COMPRESSED and i not in host_idx:
                 continue  # verified on device inside _decode_and_crc
             got = mask_crc(_crc32c_host(out[dst_offs[i] : dst_offs[i] + ch[4]]))
             if got != ch[3]:

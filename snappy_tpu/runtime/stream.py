@@ -27,6 +27,7 @@ from snappy_tpu.spec.format import (
     STREAM_ID_CHUNK,
     STREAM_ID_PAYLOAD,
     mask_crc,
+    read_uvarint,
 )
 
 __all__ = ["FramedWriter", "FramedReader"]
@@ -133,11 +134,16 @@ class FramedReader(io.RawIOBase):
         from snappy_tpu import api
 
         while True:
+            # sources may legally return short reads (sockets, pipes):
+            # only a 0-byte *first* read is clean EOF
             hdr = self._src.read(4)
             if not hdr:
                 return False
-            if len(hdr) < 4:
-                raise CorruptError("truncated chunk header")
+            while len(hdr) < 4:
+                got = self._src.read(4 - len(hdr))
+                if not got:
+                    raise CorruptError("truncated chunk header")
+                hdr += got
             ctype = hdr[0]
             blen = hdr[1] | (hdr[2] << 8) | (hdr[3] << 16)
             if not self._checked_magic:
@@ -159,6 +165,11 @@ class FramedReader(io.RawIOBase):
             stored = int.from_bytes(body[:4], "little")
             payload = body[4:]
             if ctype == CHUNK_COMPRESSED:
+                # reject the declared size BEFORE decoding: a crafted
+                # chunk claiming ~4GiB must not allocate/decode first
+                dst_len, _ = read_uvarint(payload, 0)
+                if dst_len > MAX_CHUNK_UNCOMPRESSED:
+                    raise CorruptError("chunk decodes to more than 64KiB")
                 data = api.decompress(payload, backend=self._backend)
                 if len(data) > MAX_CHUNK_UNCOMPRESSED:
                     raise CorruptError("chunk decodes to more than 64KiB")

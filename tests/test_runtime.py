@@ -76,3 +76,49 @@ def test_batch_boundary(rng, monkeypatch):
     data = rng.randbytes(65536 * 5 + 123)
     framed = device_codec.compress_framed(data)
     assert device_codec.decompress_framed(framed) == data
+
+
+def _frame_one_chunk(payload_elements: bytes, uncompressed: bytes) -> bytes:
+    """Hand-assemble a framed stream holding one compressed chunk whose
+    raw-snappy body is varint(len) + payload_elements."""
+    from snappy_tpu.spec.crc32c import crc32c
+    from snappy_tpu.spec.format import (
+        STREAM_ID_CHUNK, mask_crc, put_uvarint,
+    )
+
+    body = put_uvarint(len(uncompressed)) + payload_elements
+    crc = mask_crc(crc32c(uncompressed))
+    blen = len(body) + 4
+    return (
+        STREAM_ID_CHUNK
+        + bytes((0x00, blen & 0xFF, (blen >> 8) & 0xFF, (blen >> 16) & 0xFF))
+        + crc.to_bytes(4, "little")
+        + body
+    )
+
+
+def _one_byte_literals(n: int) -> tuple[bytes, bytes]:
+    """Worst-ratio valid stream: n one-byte literal elements (2B each)."""
+    data = bytes(range(256)) * (n // 256 + 1)
+    data = data[:n]
+    elems = b"".join(bytes((0x00, b)) for b in data)
+    return elems, data
+
+
+def test_oversized_payload_host_fallback():
+    # ADVICE r1: payload > _DECODE_CMAX is VALID (1-byte literals expand
+    # ~2x) and must decode via host fallback, not raise CorruptError
+    elems, data = _one_byte_literals(40000)  # payload 80001 > 66560
+    framed = _frame_one_chunk(elems, data)
+    assert len(elems) + 1 + 2 > device_codec._DECODE_CMAX
+    assert device_codec.decompress_framed(framed) == data
+    assert framing.decompress_framed(framed) == data
+
+
+def test_tag_cap_hybrid_path():
+    # ADVICE r1: ~33k one-byte literals fit the device row but overflowed
+    # the old _T_CAP=33024 record buffer on the hybrid host-parse path
+    elems, data = _one_byte_literals(33100)  # payload 66203 <= 66560
+    framed = _frame_one_chunk(elems, data)
+    assert len(elems) + 1 + 2 <= device_codec._DECODE_CMAX
+    assert device_codec.decompress_framed(framed) == data

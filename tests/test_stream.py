@@ -79,3 +79,41 @@ def test_small_chunk_size(rng):
     with FramedWriter(sink, chunk_size=1000, backend=_backend()) as w:
         w.write(data)
     assert framing.decompress_framed(sink.getvalue()) == data
+
+
+class _Dribble(io.RawIOBase):
+    """Source that legally returns 1-byte short reads (socket-like)."""
+
+    def __init__(self, blob: bytes):
+        self._b = io.BytesIO(blob)
+
+    def readable(self):
+        return True
+
+    def read(self, n=-1):
+        return self._b.read(1 if n is None or n < 0 or n > 1 else n)
+
+
+def test_reader_short_reads(rng):
+    # ADVICE r1: a 4-byte header arriving one byte at a time must not
+    # raise a spurious CorruptError
+    data = rng.randbytes(20000)
+    blob = framing.compress_framed(data)
+    assert FramedReader(_Dribble(blob), backend=_backend()).read() == data
+
+
+def test_reader_rejects_declared_size_before_decoding():
+    # ADVICE r1: a chunk declaring a ~4GiB decoded length must be
+    # rejected from the varint preamble, before any decode/allocation
+    from snappy_tpu.spec.format import STREAM_ID_CHUNK, put_uvarint
+
+    body = put_uvarint((1 << 32) - 1) + b"\x00" * 10
+    blen = len(body) + 4
+    blob = (
+        STREAM_ID_CHUNK
+        + bytes((0x00, blen & 0xFF, (blen >> 8) & 0xFF, (blen >> 16) & 0xFF))
+        + b"\x00\x00\x00\x00"
+        + body
+    )
+    with pytest.raises(CorruptError):
+        FramedReader(io.BytesIO(blob), backend="oracle").read()
