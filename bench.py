@@ -7,24 +7,35 @@ with end-to-end, compress, ratio-parity, and scaling fields alongside.
 vs_baseline is value / 20 GB/s (the BASELINE north-star decompress
 target).
 
-The TPU here sits behind a relay that can wedge (worker crashes leave
-dead claims); the device is probed in a subprocess first and the bench
-falls back to the CPU platform - honestly labeled - rather than
-hanging the driver.
+Relay resilience (round-2): the TPU behind the axon relay wedges
+spontaneously for ~30-60 min windows.  The probe now retries with
+backoff across a configurable window (SNAPPY_TPU_BENCH_RETRY_S, default
+900 s) before falling back to CPU; every successful TPU bench persists
+its result to BENCH_LASTGOOD_TPU.json, and a CPU-fallback run embeds
+that last-good TPU result (timestamped) so the round's number of record
+is never blind to the chip.
 """
 
 import json
 import os
 import subprocess
 import sys
+import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
+
+_LASTGOOD = os.path.join(_ROOT, "BENCH_LASTGOOD_TPU.json")
 
 _PROBE = (
     "import jax, jax.numpy as jnp, numpy as np;"
     "x = jnp.ones((128, 128));"
     "print('ALIVE', float(np.asarray((x @ x)[0, 0])))"
 )
+
+
+def _note(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def _device_alive(timeout_s: int = 180) -> bool:
@@ -40,14 +51,54 @@ def _device_alive(timeout_s: int = 180) -> bool:
         return False
 
 
+def _device_alive_with_retry() -> bool:
+    """Probe the relay across the wedge window: immediate first try,
+    then backoff until SNAPPY_TPU_BENCH_RETRY_S is exhausted."""
+    window = int(os.environ.get("SNAPPY_TPU_BENCH_RETRY_S", "900"))
+    deadline = time.time() + window
+    delay = 60
+    attempt = 1
+    while True:
+        if _device_alive():
+            return True
+        left = deadline - time.time()
+        if left <= 0:
+            return False
+        _note(
+            f"TPU probe {attempt} failed; retrying in {min(delay, left):.0f}s "
+            f"({left:.0f}s left in retry window)"
+        )
+        time.sleep(min(delay, left))
+        delay = min(delay * 2, 240)
+        attempt += 1
+
+
+def _git_head() -> str:
+    try:
+        r = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=_ROOT, timeout=10,
+        )
+        return r.stdout.strip()
+    except Exception:
+        return ""
+
+
 def main() -> int:
     size = int(os.environ.get("SNAPPY_TPU_BENCH_BYTES", str(32 << 20)))
     repeats = int(os.environ.get("SNAPPY_TPU_BENCH_REPEATS", "2"))
 
     platform = os.environ.get("JAX_PLATFORMS", "default")
     fallback = False
-    if platform != "cpu" and not _device_alive():
+    if platform != "cpu" and not _device_alive_with_retry():
         fallback = True
+        # virtual 8-device mesh so the CPU fallback still produces a
+        # non-null scaling figure (the flag must precede backend init)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
         import jax
 
         try:
@@ -63,8 +114,23 @@ def main() -> int:
     result["platform"] = jax.devices()[0].platform
     if fallback:
         result["platform_note"] = (
-            "TPU relay unresponsive at bench time; measured on CPU fallback"
+            "TPU relay unresponsive through the retry window; "
+            "measured on CPU fallback"
         )
+        try:
+            with open(_LASTGOOD) as f:
+                result["last_good_tpu"] = json.load(f)
+        except Exception:
+            pass
+    elif result["platform"] != "cpu":
+        snap = dict(result)
+        snap["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        snap["git_head"] = _git_head()
+        try:
+            with open(_LASTGOOD, "w") as f:
+                json.dump(snap, f, indent=1)
+        except Exception:
+            pass
     print(json.dumps(result))
     return 0
 
