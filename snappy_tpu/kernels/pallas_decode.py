@@ -1,36 +1,38 @@
-"""Pallas TPU decoder: sequential-per-block, parallel-across-blocks.
+"""Pallas TPU decoder: sequential-per-block, windowed sublane layout.
 
-The XLA pointer-doubling decoder is bound by XLA's slow TPU gather
-lowering (~9 ns/element; docs/performance.md).  This kernel takes the
-opposite trade: each grid step decodes ONE block with a sequential tag
-loop in VMEM — scalar parsing, but all byte movement as 128-wide
-vector copies via dynamic-start/static-size slices, which Mosaic
-compiles to real vector ops.  Blocks are independent, so the grid (and
-multiple cores) provide the parallelism.
+Round-1 history: the first sequential kernel kept each block's bytes on
+the LANE axis and addressed them with dynamic-start lane slices; the
+remote Mosaic compile service rejected exactly that (plus while_loop and
+scalar VMEM reads at the time).  The round-2 compile service inverted
+the constraint set (tools/mosaic_probe.py): dynamic-start SUBLANE
+slices, dynamic `pltpu.roll`, scalar VMEM reads, while_loop and pl.when
+all compile — and lane-axis dynamic addressing is what fails.
 
-Techniques:
-- dynamic copy lengths are made static by OVERSHOOT: every copy rounds
-  up to whole 128-byte vectors; the garbage tail is overwritten by the
-  next element (elements are emitted strictly left to right), and
-  buffers are padded so overshoot never faults.
-- overlapping copies (offset < 128, the RLE family) take a scalar
-  byte loop; their cost is bounded by the block size and they come in
-  streams with few tags, so the budget balances.
-- validation mirrors the jnp decoder's error codes; err != 0 rows are
-  re-decoded by the caller on a reference path.
+This kernel is therefore formulated entirely in sublane/roll space:
 
-Layout: int32 throughout (u8 VMEM tiling + scalar reads are less
-portable across Mosaic versions); the runtime converts at the edges.
+- each block's byte stream lives in VMEM as int32 [rows, 128], byte i at
+  [i >> 7, i & 127] (u8 VMEM tiling is also rejected; int32 it is);
+- an unaligned 128-byte window at byte offset s is two dynamically
+  sliced rows rotated by `pltpu.roll` and lane-selected;
+- an emission at output offset d is the window rotated to d's lane
+  phase, written as one lane-masked merge row (preserving bytes < d)
+  plus one overshoot row (garbage beyond the emission is overwritten by
+  the next emission — output is produced strictly left to right);
+- overlapping copies (offset < 128, the RLE family) become periodic
+  patterns via 7 mask+roll doubling steps, then emit like any copy
+  (snappy copy elements are <= 64 bytes — format.py tag spec — so every
+  copy is a single window);
+- long literals loop over 128-byte chunks whose source/destination lane
+  phases are loop-invariant (both advance by whole rows).
 
-STATUS (round 1): bit-exact in interpret mode (tests/test_pallas_decode
-.py).  The build environment's remote Mosaic compile service crashes
-(HTTP 500, helper exit 1) on the exact constructs every sequential
-decoder needs - narrowed by minimal probes to: (a) ANY dynamic-start
-pl.ds load/store (static starts compile fine), (b) ANY
-jax.lax.while_loop, (c) scalar reads from VMEM, (d) DMA into SMEM
-scratch.  The on-hardware run is blocked on the toolchain, not the
-kernel design or the hardware.  Revisit when the compile service is
-updated; the XLA jnp decoder remains the production path meanwhile.
+Parallelism comes from the grid (one block per step, double-buffered by
+the pallas pipeline); blocks are independent by format design
+(SURVEY.md §7.4, §8.1).
+
+Validation mirrors decode_np's checks; err != 0 rows are re-decoded by
+the caller on a reference path for exact error surfacing.  Bounds
+arithmetic uses subtraction forms (ln > dlen - d) so hostile 4-byte
+lengths cannot wrap int32.
 """
 
 from __future__ import annotations
@@ -42,178 +44,197 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["decode_blocks_pallas"]
+__all__ = ["decode_blocks_pallas", "rows_for"]
 
 VEC = 128
 
+ERR_NONE = 0
+ERR_LITERAL = 1
+ERR_COPY = 2
+ERR_DST_SHORT = 3
+ERR_SRC_TRAIL = 4
 
-ROWS = 8  # blocks per grid step (TPU sublane divisibility)
+
+def rows_for(nbytes: int, pad_rows: int = 2) -> int:
+    """VMEM rows holding nbytes plus window-overshoot padding, rounded
+    to the int32 sublane tile (8)."""
+    r = (nbytes + VEC - 1) // VEC + pad_rows
+    return (r + 7) & ~7
+
+
+def _roll(x, shift):
+    return pltpu.roll(x, shift=shift, axis=1)
+
+
+def _window(ref3, q, r, lane):
+    """Bytes q*128+r .. +127 of a [1, R, 128] ref as a [1, 128] vector."""
+    two = ref3[0, pl.ds(q, 2), :]
+    sh = (VEC - r) & (VEC - 1)
+    lo = _roll(two[0:1, :], sh)
+    hi = _roll(two[1:2, :], sh)
+    return jnp.where(lane < VEC - r, lo, hi)
+
+
+def _emit(out_ref, w, dq, dr, lane):
+    """Write window w (bytes d..d+127, d = dq*128+dr) into out_ref,
+    preserving bytes before d and overshooting after; the overshoot is
+    overwritten by later emissions."""
+    rot = _roll(w, dr)
+    cur = out_ref[0, pl.ds(dq, 1), :]
+    out_ref[0, pl.ds(dq, 1), :] = jnp.where(lane >= dr, rot, cur)
+    out_ref[0, pl.ds(dq + 1, 1), :] = rot
 
 
 def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref):
-    base = pl.program_id(0) * ROWS
-    for row in range(ROWS):
-        _decode_row(
-            row, starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref,
-            base,
-        )
-
-
-def _decode_row(row, starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref, base):
-    i = base + row
-    start = starts_ref[i]
-    comp_len = clens_ref[i]
-    dst_len = dlens_ref[i]
-
-    def rd(idx):
-        return comp_ref[row, idx]
-
-    def vec_copy_fwd(src_base, dst_base, nbytes):
-        """Copy nbytes (rounded up to VEC) comp->out."""
-        nvec = (nbytes + VEC - 1) // VEC
-
-        def body(k, _):
-            out_ref[row, pl.ds(dst_base + k * VEC, VEC)] = comp_ref[
-                row, pl.ds(src_base + k * VEC, VEC)
-            ]
-            return 0
-
-        jax.lax.fori_loop(0, nvec, body, 0)
-
-    def vec_copy_self(src_base, dst_base, nbytes):
-        nvec = (nbytes + VEC - 1) // VEC
-
-        def body(k, _):
-            out_ref[row, pl.ds(dst_base + k * VEC, VEC)] = out_ref[
-                row, pl.ds(src_base + k * VEC, VEC)
-            ]
-            return 0
-
-        jax.lax.fori_loop(0, nvec, body, 0)
-
-    def byte_copy_self(src_base, dst_base, nbytes):
-        def body(k, _):
-            out_ref[row, dst_base + k] = out_ref[row, src_base + k]
-            return 0
-
-        jax.lax.fori_loop(0, nbytes, body, 0)
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    clen = clens_ref[b]
+    dlen = dlens_ref[b]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, VEC), 1)
 
     def cond(state):
         s, d, err = state
-        return (s < comp_len) & (err == 0)
+        return (s < clen) & (err == 0)
 
     def body(state):
         s, d, err = state
-        b0 = rd(s)
+        w = _window(comp_ref, s >> 7, s & (VEC - 1), lane)
+        b0, b1, b2, b3, b4 = (w[0, 0], w[0, 1], w[0, 2], w[0, 3], w[0, 4])
         tag = b0 & 3
         x = b0 >> 2
+        is_lit = tag == 0
 
-        def lit_case(_):
-            hdr = jnp.select(
-                [x < 60, x == 60, x == 61, x == 62], [1, 2, 3, 4], 5
+        # -- literal header (nested where: jnp.select lowers via an
+        # argmax Mosaic rejects for int32) ---------------------------------
+        w1 = jnp.int32(1)
+        lit_hdr = jnp.where(
+            x < 60, w1,
+            jnp.where(x == 60, w1 * 2, jnp.where(x == 61, w1 * 3,
+                                                 jnp.where(x == 62, w1 * 4, w1 * 5))),
+        )
+        lit_ln = (
+            jnp.where(
+                x < 60, x,
+                jnp.where(
+                    x == 60, b1,
+                    jnp.where(
+                        x == 61, b1 | (b2 << 8),
+                        jnp.where(
+                            x == 62, b1 | (b2 << 8) | (b3 << 16),
+                            b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
+                        ),
+                    ),
+                ),
             )
-            ln = (
-                jnp.select(
-                    [x < 60, x == 60, x == 61, x == 62],
-                    [
-                        x,
-                        rd(s + 1),
-                        rd(s + 1) | (rd(s + 2) << 8),
-                        rd(s + 1) | (rd(s + 2) << 8) | (rd(s + 3) << 16),
-                    ],
-                    rd(s + 1)
-                    | (rd(s + 2) << 8)
-                    | (rd(s + 3) << 16)
-                    | (rd(s + 4) << 24),
-                )
-                + 1
-            )
-            bad = (
-                (ln <= 0)
-                | (s + hdr + ln > comp_len)
-                | (d + ln > dst_len)
-            )
+            + 1
+        )
 
-            def do(_):
-                vec_copy_fwd(s + hdr, d, ln)
+        # -- copy header ---------------------------------------------------
+        cop_hdr = jnp.where(tag == 1, w1 * 2, jnp.where(tag == 2, w1 * 3, w1 * 5))
+        cop_ln = jnp.where(tag == 1, 4 + (x & 7), 1 + x)
+        off = jnp.where(
+            tag == 1, ((b0 & 0xE0) << 3) | b1,
+            jnp.where(tag == 2, b1 | (b2 << 8),
+                      b1 | (b2 << 8) | (b3 << 16) | (b4 << 24)),
+        )
+
+        hdr = jnp.where(is_lit, lit_hdr, cop_hdr)
+        ln = jnp.where(is_lit, lit_ln, cop_ln)
+
+        # subtraction-form bounds: every term fits i32 (s,d,clen,dlen are
+        # block-local), so hostile 4-byte lengths cannot wrap the check
+        bad_common = (hdr > clen - s) | (ln <= 0) | (ln > dlen - d)
+        lit_bad = bad_common | (ln > clen - s - hdr)
+        cop_bad = bad_common | (off <= 0) | (off > d)
+        e = jnp.where(
+            is_lit,
+            jnp.where(lit_bad, jnp.int32(ERR_LITERAL), jnp.int32(ERR_NONE)),
+            jnp.where(cop_bad, jnp.int32(ERR_COPY), jnp.int32(ERR_NONE)),
+        )
+
+        dq0 = d >> 7
+        dr = d & (VEC - 1)
+
+        @pl.when(is_lit & (e == ERR_NONE))
+        def _():
+            sb = s + hdr
+            sq0 = sb >> 7
+            sr = sb & (VEC - 1)
+            nvec = (ln + VEC - 1) >> 7
+
+            def chunk(k, _):
+                ws = _window(comp_ref, sq0 + k, sr, lane)
+                _emit(out_ref, ws, dq0 + k, dr, lane)
                 return 0
 
-            jax.lax.cond(bad, lambda _: 0, do, 0)
-            return s + hdr + ln, d + ln, jnp.where(bad, jnp.int32(1), 0)
+            jax.lax.fori_loop(0, nvec, chunk, 0)
 
-        def copy_case(_):
-            hdr = jnp.select([tag == 1, tag == 2], [2, 3], 5)
-            ln = jnp.where(tag == 1, 4 + ((b0 >> 2) & 7), 1 + x)
-            off = jnp.select(
-                [tag == 1, tag == 2],
-                [
-                    ((b0 & 0xE0) << 3) | rd(s + 1),
-                    rd(s + 1) | (rd(s + 2) << 8),
-                ],
-                rd(s + 1)
-                | (rd(s + 2) << 8)
-                | (rd(s + 3) << 16)
-                | (rd(s + 4) << 24),
-            )
-            bad = (
-                (off <= 0)
-                | (off > d)
-                | (s + hdr > comp_len)
-                | (d + ln > dst_len)
-            )
+        @pl.when((~is_lit) & (e == ERR_NONE))
+        def _():
+            src = d - off
+            p = _window(out_ref, src >> 7, src & (VEC - 1), lane)
+            # periodic extension for overlapping copies (off < 128);
+            # off >= 128 makes every step a no-op mask
+            v = jnp.minimum(off, VEC)
+            for _i in range(7):
+                p = jnp.where(lane < v, p, _roll(p, v))
+                v = jnp.minimum(v * 2, VEC)
+            _emit(out_ref, p, dq0, dr, lane)
 
-            def do(_):
-                jax.lax.cond(
-                    off >= VEC,
-                    lambda _: (vec_copy_self(d - off, d, ln), 0)[1],
-                    lambda _: (byte_copy_self(d - off, d, ln), 0)[1],
-                    0,
-                )
-                return 0
+        s2 = s + hdr + jnp.where(is_lit, ln, 0)
+        d2 = d + ln
+        return (
+            jnp.where(e == ERR_NONE, s2, s),
+            jnp.where(e == ERR_NONE, d2, d),
+            e,
+        )
 
-            jax.lax.cond(bad, lambda _: 0, do, 0)
-            return s + hdr, d + ln, jnp.where(bad, jnp.int32(2), 0)
-
-        s2, d2, e = jax.lax.cond(tag == 0, lit_case, copy_case, 0)
-        return s2, d2, jnp.where(err != 0, err, e)
-
-    s0 = start
     s_end, d_end, err = jax.lax.while_loop(
-        cond, body, (s0, jnp.int32(0), jnp.int32(0))
+        cond, body, (start, jnp.int32(0), jnp.int32(0))
     )
-    err = jnp.where((err == 0) & (d_end != dst_len), jnp.int32(3), err)
-    err = jnp.where((err == 0) & (s_end != comp_len), jnp.int32(4), err)
-    err_ref[i] = err
+    err = jnp.where((err == 0) & (d_end != dlen), jnp.int32(ERR_DST_SHORT), err)
+    err = jnp.where((err == 0) & (s_end != clen), jnp.int32(ERR_SRC_TRAIL), err)
+    err_ref[b] = err
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_max", "interpret")
-)
-def decode_blocks_pallas(comp_i32, starts, clens, dlens, out_max: int,
+@functools.partial(jax.jit, static_argnames=("out_max", "interpret"))
+def decode_blocks_pallas(comp_u8, starts, clens, dlens, out_max: int,
                          interpret: bool = False):
-    """comp_i32: int32[B, CMAX+pad] byte values; returns
-    (out int32[B, out_max+pad], err int32[B])."""
-    B, cmax = comp_i32.shape
-    assert B % ROWS == 0, f"batch must be a multiple of {ROWS}"
-    opad = out_max + 2 * VEC
+    """Decode a padded batch of snappy element streams.
+
+    comp_u8: uint8[B, cmax] (cmax a multiple of 128); starts/clens/dlens
+    int32[B].  Returns (out uint8[B, out_max], err int32[B]).
+    """
+    B, cmax = comp_u8.shape
+    assert cmax % VEC == 0, "compressed row width must be a multiple of 128"
+    assert out_max % VEC == 0, "out_max must be a multiple of 128"
+    cr = rows_for(cmax)
+    orows = rows_for(out_max)
+    comp3 = jnp.zeros((B, cr, VEC), jnp.int32)
+    comp3 = comp3.at[:, : cmax // VEC, :].set(
+        comp_u8.astype(jnp.int32).reshape(B, cmax // VEC, VEC)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B // ROWS,),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((ROWS, cmax), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cr, VEC), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ROWS, opad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, orows, VEC), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
     )
-    out, err = pl.pallas_call(
+    out3, err = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, opad), jnp.int32),
+            jax.ShapeDtypeStruct((B, orows, VEC), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ),
         interpret=interpret,
-    )(starts, clens, dlens, comp_i32)
-    return out[:, :out_max], err
+    )(starts, clens, dlens, comp3)
+    out = out3.reshape(B, orows * VEC)[:, :out_max].astype(jnp.uint8)
+    return out, err

@@ -1,5 +1,5 @@
 """Pallas sequential-per-block decoder: interpret-mode validation on CPU
-(bit parity with the oracle; error codes on invalid streams).  The real
+(bit parity with the oracle; error flags on invalid streams).  The real
 Mosaic compile is exercised on TPU by the bench/runtime."""
 
 import numpy as np
@@ -10,15 +10,10 @@ from snappy_tpu.spec import reference
 from snappy_tpu.spec.format import read_uvarint
 
 
-def _stage(streams, cmax, dlens_override=None):
-    # pad the batch to the kernel's ROWS granularity with empty streams
-    from snappy_tpu.kernels.pallas_decode import ROWS
-
-    streams = list(streams)
-    while len(streams) % ROWS:
-        streams.append(b"\x00")
+def _stage(streams, cmax):
+    assert cmax % VEC == 0
     B = len(streams)
-    comp = np.zeros((B, cmax + 2 * VEC), np.int32)
+    comp = np.zeros((B, cmax), np.uint8)
     starts = np.zeros(B, np.int32)
     clens = np.zeros(B, np.int32)
     dlens = np.zeros(B, np.int32)
@@ -26,9 +21,15 @@ def _stage(streams, cmax, dlens_override=None):
         d, h = read_uvarint(c, 0)
         comp[i, : len(c)] = np.frombuffer(c, np.uint8)
         starts[i], clens[i], dlens[i] = h, len(c), d
-    if dlens_override is not None:
-        dlens = np.asarray(dlens_override, np.int32)
     return comp, starts, clens, dlens
+
+
+def _decode(streams, cmax, out_max):
+    comp, starts, clens, dlens = _stage(streams, cmax)
+    out, err = decode_blocks_pallas(
+        comp, starts, clens, dlens, out_max=out_max, interpret=True
+    )
+    return np.asarray(out), np.asarray(err)
 
 
 def test_roundtrip_matrix(rng):
@@ -41,15 +42,10 @@ def test_roundtrip_matrix(rng):
         b"",                              # empty
         rng.randbytes(3) + b"zz" * 2000,  # mixed
     ]
-    streams = [reference.compress(s) for s in samples]
-    comp, starts, clens, dlens = _stage(streams, 8192)
-    out, err = decode_blocks_pallas(
-        comp, starts, clens, dlens, out_max=8192, interpret=True
-    )
-    out, err = np.asarray(out), np.asarray(err)
+    out, err = _decode([reference.compress(s) for s in samples], 8192, 8192)
     assert (err == 0).all(), err
     for i, s in enumerate(samples):
-        assert out[i, : len(s)].astype(np.uint8).tobytes() == s, f"row {i}"
+        assert out[i, : len(s)].tobytes() == s, f"row {i}"
 
 
 def test_error_codes():
@@ -60,27 +56,47 @@ def test_error_codes():
         b"\x05\x0cabcd" + bytes([(60 << 2) | 2, 1, 0]),  # overruns output
         b"\x0a\x24abc",                               # truncated literal
     ]
-    n_bad = len(bad_streams)
-    comp, starts, clens, dlens = _stage(bad_streams, 1024)
-    out, err = decode_blocks_pallas(
-        comp, starts, clens, dlens, out_max=1024, interpret=True
-    )
-    assert (np.asarray(err)[:n_bad] != 0).all(), np.asarray(err)
+    out, err = _decode(bad_streams, 1024, 1024)
+    assert (err != 0).all(), err
 
 
 def test_agreement_with_oracle_fuzz(rng):
-    """Valid streams from all three encoders decode identically."""
+    """Valid streams from both host encoders decode identically."""
     from snappy_tpu.kernels import encode_np
 
     samples = [rng.randbytes(rng.randint(1, 3000)) for _ in range(4)]
     samples += [(b"word " * 1000)[: rng.randint(100, 4000)] for _ in range(4)]
     streams = [reference.compress(s) for s in samples[:4]]
     streams += [encode_np.compress(s) for s in samples[4:]]
-    comp, starts, clens, dlens = _stage(streams, 8192)
-    out, err = decode_blocks_pallas(
-        comp, starts, clens, dlens, out_max=8192, interpret=True
-    )
-    out, err = np.asarray(out), np.asarray(err)
+    out, err = _decode(streams, 8192, 8192)
     assert (err == 0).all()
     for i, s in enumerate(samples):
-        assert out[i, : len(s)].astype(np.uint8).tobytes() == s
+        assert out[i, : len(s)].tobytes() == s
+
+
+def test_corpus_fuzz(rng):
+    """Corpus-sampler fuzz: realistic mixed-entropy blocks, full 64 KiB
+    geometry (the VERDICT r1 ask: interpret fuzz over the corpus)."""
+    from conftest import make_corpus_samples
+
+    samples = [s[:65536] for s in make_corpus_samples(rng, sizes=(65536, 30000))]
+    samples += [
+        bytes(65536),
+        (b"ab" * 40000)[:65536],
+        rng.randbytes(65536),
+    ]
+    out, err = _decode([reference.compress(s) for s in samples], 66560, 65536)
+    assert (err == 0).all(), err
+    for i, s in enumerate(samples):
+        assert out[i, : len(s)].tobytes() == s, f"row {i}"
+
+
+def test_boundary_alignment(rng):
+    """Sizes straddling the 128-byte row geometry the kernel lives on."""
+    samples = []
+    for n in (1, 127, 128, 129, 255, 256, 257, 4095, 4096, 4097):
+        samples.append(rng.randbytes(n // 2) + b"Q" * (n - n // 2))
+    out, err = _decode([reference.compress(s) for s in samples], 8192, 8192)
+    assert (err == 0).all(), err
+    for i, s in enumerate(samples):
+        assert out[i, : len(s)].tobytes() == s, f"len={len(s)}"
