@@ -23,7 +23,13 @@ import numpy as np
 
 from snappy_tpu.spec.format import MAX_CHUNK_UNCOMPRESSED
 
-__all__ = ["plan_ranges", "host_compress_framed", "gather_lengths"]
+__all__ = [
+    "plan_ranges",
+    "plan_chunk_ranges",
+    "host_compress_framed",
+    "host_decompress_framed",
+    "gather_lengths",
+]
 
 
 def plan_ranges(total_bytes: int, num_hosts: int,
@@ -40,6 +46,67 @@ def plan_ranges(total_bytes: int, num_hosts: int,
         out.append((start, cnt))
         start += cnt
     return out
+
+
+def plan_chunk_ranges(n_chunks: int, num_hosts: int):
+    """Contiguous per-host ranges over an existing chunk list (balanced
+    to within one chunk).  Returns [(first_chunk, count), ...]."""
+    base = n_chunks // num_hosts
+    extra = n_chunks % num_hosts
+    out = []
+    start = 0
+    for h in range(num_hosts):
+        cnt = base + (1 if h < extra else 0)
+        out.append((start, cnt))
+        start += cnt
+    return out
+
+
+def host_decompress_framed(src: bytes, process_id: int, num_processes: int,
+                           verify_checksums: bool = True):
+    """Decompress this host's chunk range of a framed stream (BASELINE
+    config 5, decompress side).
+
+    Every host scans the frame index locally (headers carry each chunk's
+    decoded size, so global output offsets are an exclusive scan with NO
+    collective — decompress needs zero DCN traffic; SURVEY.md §7.4).
+    Returns (out_offset, local_bytes, total_len, stats) where stats
+    carries the per-host GB/s accounting the scaling report aggregates.
+    """
+    import time
+
+    from snappy_tpu.runtime import device_codec
+
+    t0 = time.perf_counter()
+    chunks, total = device_codec._scan_frames(src)
+    ranges = plan_chunk_ranges(len(chunks), num_processes)
+    lo, cnt = ranges[process_id]
+
+    # global output offsets: exclusive scan over decoded sizes
+    g_offs = []
+    acc = 0
+    for ch in chunks:
+        g_offs.append(acc)
+        acc += ch[4]
+
+    out_base = g_offs[lo] if cnt else total
+    local_total = (g_offs[lo + cnt - 1] + chunks[lo + cnt - 1][4] - out_base
+                   if cnt else 0)
+    local_offs = [o - out_base for o in g_offs]
+    out = np.empty(max(1, local_total), dtype=np.uint8)
+    src_arr = np.frombuffer(src, dtype=np.uint8)
+    device_codec.decode_chunk_range(
+        src_arr, chunks, local_offs, out, range(lo, lo + cnt), verify_checksums
+    )
+    dt = time.perf_counter() - t0
+    stats = {
+        "host": process_id,
+        "chunks": cnt,
+        "bytes": local_total,
+        "seconds": round(dt, 4),
+        "gbs": round(local_total / 1e9 / dt, 4) if dt > 0 else None,
+    }
+    return out_base, out[:local_total].tobytes(), total, stats
 
 
 def gather_lengths(local_lengths: np.ndarray) -> np.ndarray:

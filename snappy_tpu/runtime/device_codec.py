@@ -301,7 +301,21 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
         dst_offs.append(acc)
         acc += ch[4]
 
-    all_comp = [i for i, ch in enumerate(chunks) if ch[0] == CHUNK_COMPRESSED]
+    decode_chunk_range(
+        src_arr, chunks, dst_offs, out, range(len(chunks)), verify_checksums
+    )
+    return out[:total].tobytes()
+
+
+def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
+                       verify_checksums: bool = True) -> None:
+    """Decode the chunk-index `subset` of a scanned frame index into
+    `out` at per-chunk offsets `dst_offs` (indexed by chunk index; the
+    caller may shift them for a host-local buffer).  This is the seam
+    the multi-host layer shares with single-host decompress_framed:
+    chunk independence makes the split structural (SURVEY.md §7.4)."""
+    subset = list(subset)
+    all_comp = [i for i in subset if chunks[i][0] == CHUNK_COMPRESSED]
     # The format allows payloads up to ~2x the decoded size (1-byte
     # literals are 2 bytes each); payloads beyond the device row width
     # are valid but rare — decode those on host instead of raising.
@@ -314,7 +328,8 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
             raise CorruptError("chunk preamble disagrees with decoded size")
         out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(blob, dtype=np.uint8)
     # uncompressed chunks: straight copies
-    for i, ch in enumerate(chunks):
+    for i in subset:
+        ch = chunks[i]
         if ch[0] == CHUNK_UNCOMPRESSED:
             out[dst_offs[i] : dst_offs[i] + ch[4]] = src_arr[ch[1] : ch[1] + ch[2]]
 
@@ -419,13 +434,13 @@ def decompress_framed(data: bytes, verify_checksums: bool = True) -> bytes:
 
     if verify_checksums:
         dev_checked = DEVICE_CRC and MAX_CHUNK_UNCOMPRESSED == _CRC_CHUNK
-        for i, ch in enumerate(chunks):
+        for i in subset:
+            ch = chunks[i]
             if dev_checked and ch[0] == CHUNK_COMPRESSED and i not in host_idx:
                 continue  # verified on device inside _decode_and_crc
             got = mask_crc(_crc32c_host(out[dst_offs[i] : dst_offs[i] + ch[4]]))
             if got != ch[3]:
                 raise ChecksumError(ch[3], got)
-    return out[:total].tobytes()
 
 
 def decompress(data: bytes) -> bytes:

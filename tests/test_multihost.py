@@ -36,3 +36,47 @@ def test_two_host_assembly_parity(rng):
     assembled = bytes(STREAM_ID_CHUNK) + b"".join(parts)
     assert assembled == single
     assert device_codec.decompress_framed(assembled) == data
+
+
+def test_plan_chunk_ranges():
+    r = multihost.plan_chunk_ranges(11, 4)
+    assert sum(c for _, c in r) == 11
+    assert r[0] == (0, 3)
+    counts = [c for _, c in r]
+    assert max(counts) - min(counts) <= 1
+    assert multihost.plan_chunk_ranges(0, 3) == [(0, 0)] * 3
+
+
+def test_host_decompress_parity(rng):
+    """N-way decompress split reassembles bit-for-bit, with per-host
+    GB/s stats (BASELINE config 5, decompress side)."""
+    data = (b"decompress side " * 9000)[:110000] + rng.randbytes(130000) + b"tail"
+    framed = device_codec.compress_framed(data)
+    for n_hosts in (1, 2, 3):
+        out = bytearray()
+        pieces = []
+        for pid in range(n_hosts):
+            base, blob, total, stats = multihost.host_decompress_framed(
+                framed, pid, n_hosts
+            )
+            assert total == len(data)
+            assert stats["bytes"] == len(blob)
+            pieces.append((base, blob))
+        pieces.sort()
+        for base, blob in pieces:
+            assert base == len(out)  # contiguous, ordered
+            out += blob
+        assert bytes(out) == data
+
+
+def test_host_decompress_detects_corruption(rng):
+    from snappy_tpu.errors import ChecksumError, CorruptError
+
+    import pytest
+
+    data = rng.randbytes(140000)
+    framed = bytearray(device_codec.compress_framed(data))
+    framed[-1] ^= 0xFF
+    with pytest.raises((ChecksumError, CorruptError)):
+        # the corrupted tail chunk lands in the LAST host's range
+        multihost.host_decompress_framed(bytes(framed), 1, 2)

@@ -32,6 +32,16 @@ with open(f'{outdir}/part_{pid}.bin', 'wb') as f:
     f.write(b''.join(bodies))
 with open(f'{outdir}/meta_{pid}.pkl', 'wb') as f:
     pickle.dump((list(lengths), list(all_lengths)), f)
+
+# decompress side: each process decodes its chunk range of the full
+# stream (assembled locally from the allgathered parts via the framing
+# oracle: every host holds the same compressed stream in real use)
+from snappy_tpu.spec import framing
+full = framing.compress_framed(data)
+base, blob, total, stats = multihost.host_decompress_framed(full, pid, nproc)
+assert total == len(data)
+with open(f'{outdir}/dec_{pid}.pkl', 'wb') as f:
+    pickle.dump((base, blob, stats), f)
 """
 
 
@@ -69,3 +79,10 @@ def test_two_process_parity(tmp_path):
     assert g0 == g1 == l0 + l1  # every host sees the same global lengths
     # bit parity with the oracle framing of the same data
     assert framing.decompress_framed(assembled) == data
+
+    # decompress side: the two hosts' output ranges tile the original
+    d0_base, d0_blob, d0_stats = pickle.loads((tmp_path / "dec_0.pkl").read_bytes())
+    d1_base, d1_blob, d1_stats = pickle.loads((tmp_path / "dec_1.pkl").read_bytes())
+    assert d0_base == 0 and d1_base == len(d0_blob)
+    assert d0_blob + d1_blob == data
+    assert d0_stats["gbs"] is not None and d1_stats["gbs"] is not None
