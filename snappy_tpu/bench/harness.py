@@ -342,16 +342,33 @@ def run_bench(
         e2e_files = files
     e2e_total = sum(len(d) for _, d in e2e_files)
     note(f"corpus {total/1e6:.0f}MB, backend={backend}; e2e ({e2e_total/1e6:.0f}MB) warmup...")
+    from snappy_tpu.utils.progress import default_meter
+
+    meter = default_meter()
     api.compress_framed(e2e_files[0][1][: 1 << 20], backend=backend)  # warmup
     note("e2e compress...")
+    meter.start("e2e compress", e2e_total)
     t0 = time.perf_counter()
-    framed = [api.compress_framed(d, backend=backend) for _, d in e2e_files]
+    framed = []
+    done = 0
+    for _, d in e2e_files:
+        framed.append(api.compress_framed(d, backend=backend))
+        done += len(d)
+        meter.set(done)
     e2e_comp_t = time.perf_counter() - t0
+    meter.finish()
     note(f"e2e compress done in {e2e_comp_t:.1f}s; e2e decompress...")
     api.decompress_framed(framed[0], backend=backend)  # warmup
+    meter.start("e2e decompress", e2e_total)
     t0 = time.perf_counter()
-    outs = [api.decompress_framed(b, backend=backend) for b in framed]
+    outs = []
+    done = 0
+    for b in framed:
+        outs.append(api.decompress_framed(b, backend=backend))
+        done += len(outs[-1])
+        meter.set(done)
     e2e_dec_t = time.perf_counter() - t0
+    meter.finish()
     note(f"e2e decompress done in {e2e_dec_t:.1f}s; device-path phase...")
     for (name, d), o in zip(e2e_files, outs):
         assert o == d, f"round-trip mismatch on {name}"

@@ -63,15 +63,147 @@ def _detect_format(data: bytes) -> str:
     return "framed" if data.startswith(STREAM_ID_CHUNK) else "raw"
 
 
+# Files above this size stream through FramedWriter/FramedReader in
+# slabs (constant memory; reference streams all downloads/unpacks —
+# helpers.go:74-147, snapp.go:927-974).
+STREAM_THRESHOLD = int(os.environ.get("SNAPPY_TPU_STREAM_THRESHOLD", str(64 << 20)))
+_SLAB = 16 << 20
+
+
+def _make_meter(args):
+    from snappy_tpu.utils.progress import NullMeter, default_meter
+
+    if getattr(args, "quiet", False):
+        return NullMeter()
+    return default_meter()
+
+
+def _stream_compress(args, meter) -> int:
+    """Slab-streamed framed compression: bounded RSS at any input size,
+    atomic output, optional streamed verify."""
+    from snappy_tpu.runtime.stream import FramedReader, FramedWriter
+
+    total = os.path.getsize(args.file)
+    dest = args.output or (args.file + ".sz")
+    d = os.path.dirname(os.path.abspath(dest)) or "."
+    fd, tmp = tempfile.mkstemp(prefix=".tpusnappy-", dir=d)
+    t0 = time.perf_counter()
+    try:
+        done = 0
+        meter.start(f"compress {os.path.basename(args.file)}", total)
+        with os.fdopen(fd, "wb") as sink, open(args.file, "rb") as src:
+            with FramedWriter(sink, backend=args.backend) as w:
+                while True:
+                    slab = src.read(_SLAB)
+                    if not slab:
+                        break
+                    w.write(slab)
+                    done += len(slab)
+                    meter.set(done)
+                sink.flush()
+                os.fsync(sink.fileno())
+        meter.finish()
+        out_size = os.path.getsize(tmp)
+        if args.verify:
+            meter.start("verify", total)
+            done = 0
+            with open(tmp, "rb") as comp, open(args.file, "rb") as orig:
+                r = FramedReader(comp, backend=args.backend)
+                while True:
+                    got = r.read(_SLAB)
+                    want = orig.read(len(got)) if got else orig.read(1)
+                    if got != want:
+                        print(
+                            "tpusnappy: verification failed: round-trip mismatch",
+                            file=sys.stderr,
+                        )
+                        return 1
+                    if not got:
+                        break
+                    done += len(got)
+                    meter.set(done)
+            meter.finish()
+        os.replace(tmp, dest)
+        tmp = None
+    finally:
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    if not args.quiet:
+        dt = time.perf_counter() - t0
+        ratio = total / max(out_size, 1)
+        print(
+            f"{args.file}: {total} -> {out_size} bytes "
+            f"({ratio:.2f}x, {total / 1e9 / max(dt, 1e-9):.3f} GB/s, streamed)"
+            + (", verified" if args.verify else ""),
+            file=sys.stderr,
+        )
+    return 0
+
+
+def _stream_decompress(args, dest, meter) -> int:
+    from snappy_tpu.runtime.stream import FramedReader
+
+    total = os.path.getsize(args.file)
+    d = os.path.dirname(os.path.abspath(dest)) or "."
+    fd, tmp = tempfile.mkstemp(prefix=".tpusnappy-", dir=d)
+    t0 = time.perf_counter()
+    out_size = 0
+    try:
+        meter.start(f"decompress {os.path.basename(args.file)}", total)
+        with os.fdopen(fd, "wb") as sink, open(args.file, "rb") as src:
+            r = FramedReader(src, backend=args.backend)
+            while True:
+                blob = r.read(_SLAB)
+                if not blob:
+                    break
+                sink.write(blob)
+                out_size += len(blob)
+                meter.set(min(src.tell(), total))
+            sink.flush()
+            os.fsync(sink.fileno())
+        meter.finish()
+        os.replace(tmp, dest)
+        tmp = None
+    finally:
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    if not args.quiet:
+        dt = time.perf_counter() - t0
+        print(
+            f"{args.file}: {total} -> {out_size} bytes "
+            f"({out_size / 1e9 / max(dt, 1e-9):.3f} GB/s, streamed)",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def cmd_compress(args) -> int:
     from snappy_tpu import api
 
+    meter = _make_meter(args)
+    if (
+        args.format == "framed"
+        and args.file != "-"
+        and args.output != "-"
+        and os.path.isfile(args.file)
+        and os.path.getsize(args.file) > STREAM_THRESHOLD
+    ):
+        return _stream_compress(args, meter)
     data = _read(args.file)
     t0 = time.perf_counter()
+    meter.start(f"compress {os.path.basename(args.file)}", max(len(data), 1))
     if args.format == "raw":
         out = api.compress(data, backend=args.backend)
     else:
         out = api.compress_framed(data, backend=args.backend)
+    meter.set(len(data))
+    meter.finish()
     dt = time.perf_counter() - t0
     if args.verify:
         # decode-after-encode postcondition (reference verifyUpgradeWasApplied)
@@ -99,14 +231,7 @@ def cmd_compress(args) -> int:
 def cmd_decompress(args) -> int:
     from snappy_tpu import api
 
-    data = _read(args.file)
-    fmt = args.format if args.format != "auto" else _detect_format(data)
-    t0 = time.perf_counter()
-    if fmt == "raw":
-        out = api.decompress(data, backend=args.backend)
-    else:
-        out = api.decompress_framed(data, backend=args.backend)
-    dt = time.perf_counter() - t0
+    meter = _make_meter(args)
     dest = args.output
     if dest is None:
         for suffix in (".snappy", ".sz"):
@@ -115,6 +240,28 @@ def cmd_decompress(args) -> int:
                 break
         else:
             dest = "-"
+    if (
+        args.file != "-"
+        and dest != "-"
+        and os.path.isfile(args.file)
+        and os.path.getsize(args.file) > STREAM_THRESHOLD
+    ):
+        with open(args.file, "rb") as f:
+            head = f.read(10)
+        fmt = args.format if args.format != "auto" else _detect_format(head)
+        if fmt == "framed":
+            return _stream_decompress(args, dest, meter)
+    data = _read(args.file)
+    fmt = args.format if args.format != "auto" else _detect_format(data)
+    t0 = time.perf_counter()
+    meter.start(f"decompress {os.path.basename(args.file)}", max(len(data), 1))
+    if fmt == "raw":
+        out = api.decompress(data, backend=args.backend)
+    else:
+        out = api.decompress_framed(data, backend=args.backend)
+    meter.set(len(data))
+    meter.finish()
+    dt = time.perf_counter() - t0
     _emit(dest, out)
     if not args.quiet:
         print(
@@ -205,6 +352,9 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from snappy_tpu.utils.hostmem import tune_allocator
+
+    tune_allocator()
     p = argparse.ArgumentParser(
         prog="tpusnappy", description="TPU-native Snappy codec"
     )

@@ -73,6 +73,12 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        # the C++ paths allocate large scratch vectors per call; glibc
+        # must not hand them back to the kernel (page faults measured at
+        # ~400us here - utils/hostmem docstring)
+        from snappy_tpu.utils.hostmem import tune_allocator
+
+        tune_allocator()
         so = _SO if os.path.exists(_SO) else _build()
         if so is None:
             return None

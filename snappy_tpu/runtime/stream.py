@@ -48,15 +48,26 @@ class FramedWriter(io.RawIOBase):
 
     with FramedWriter(open(path, 'wb')) as w:
         w.write(part1); w.write(part2)
+
+    Chunks are accumulated and compressed `buffer_chunks` at a time
+    through the backend's batched framed path (one device dispatch per
+    batch instead of one per 64 KiB chunk — the relay costs ~50 ms per
+    synchronized call, so per-chunk dispatch caps streaming at ~1 MB/s).
+    Non-default chunk sizes use the per-chunk path.
     """
 
     def __init__(self, sink, chunk_size: int = MAX_CHUNK_UNCOMPRESSED,
-                 backend: str | None = None):
+                 backend: str | None = None, buffer_chunks: int = 64):
         if not 0 < chunk_size <= MAX_CHUNK_UNCOMPRESSED:
             raise ValueError("chunk_size must be in (0, 65536]")
         self._sink = sink
         self._chunk_size = chunk_size
         self._backend = backend
+        self._batch_bytes = (
+            buffer_chunks * chunk_size
+            if chunk_size == MAX_CHUNK_UNCOMPRESSED and buffer_chunks > 1
+            else chunk_size
+        )
         self._buf = bytearray()
         self._wrote_header = False
 
@@ -65,10 +76,25 @@ class FramedWriter(io.RawIOBase):
 
     def write(self, data) -> int:
         self._buf += bytes(data)
-        while len(self._buf) >= self._chunk_size:
-            self._emit(bytes(self._buf[: self._chunk_size]))
-            del self._buf[: self._chunk_size]
+        while len(self._buf) >= self._batch_bytes:
+            self._emit_batch(bytes(self._buf[: self._batch_bytes]))
+            del self._buf[: self._batch_bytes]
         return len(data)
+
+    def _emit_batch(self, data: bytes) -> None:
+        """Compress a whole-chunk multiple through the backend's batched
+        framed encoder and append its records (sans stream header)."""
+        if len(data) <= self._chunk_size:
+            self._emit(data)
+            return
+        from snappy_tpu import api
+
+        if not self._wrote_header:
+            self._sink.write(STREAM_ID_CHUNK)
+            self._wrote_header = True
+        blob = api.compress_framed(data, backend=self._backend)
+        assert blob[: len(STREAM_ID_CHUNK)] == STREAM_ID_CHUNK
+        self._sink.write(blob[len(STREAM_ID_CHUNK):])
 
     def _emit(self, chunk: bytes) -> None:
         from snappy_tpu import api
@@ -90,6 +116,11 @@ class FramedWriter(io.RawIOBase):
         self._sink.write(body)
 
     def flush(self) -> None:
+        if len(self._buf) > self._chunk_size:
+            whole = len(self._buf) - (len(self._buf) % self._chunk_size)
+            if whole > self._chunk_size:
+                self._emit_batch(bytes(self._buf[:whole]))
+                del self._buf[:whole]
         while self._buf:
             chunk = bytes(self._buf[: self._chunk_size])
             del self._buf[: self._chunk_size]

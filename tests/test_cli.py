@@ -77,3 +77,66 @@ def test_raw_format_roundtrip(workdir):
         "decompress", str(out), "-o", str(dec), "-q", "--backend", _backend(),
     ]) == 0
     assert dec.read_bytes() == src.read_bytes()
+
+
+def test_streaming_compress_roundtrip(tmp_path, rng, monkeypatch):
+    """Slab-streamed CLI path: bounded-memory compress+verify+decompress
+    (threshold lowered so the test stays small)."""
+    import importlib
+
+    cli_main = importlib.import_module("snappy_tpu.cli.main")
+
+    monkeypatch.setattr(cli_main, "STREAM_THRESHOLD", 100_000)
+    monkeypatch.setattr(cli_main, "_SLAB", 70_000)
+    src = tmp_path / "big.bin"
+    data = (b"streaming payload " * 30000)[:400_000] + rng.randbytes(150_000)
+    src.write_bytes(data)
+    out = tmp_path / "big.sz"
+    dec = tmp_path / "big.out"
+    assert main([
+        "compress", str(src), "-o", str(out), "--verify", "-q",
+        "--backend", _backend(),
+    ]) == 0
+    assert main([
+        "decompress", str(out), "-o", str(dec), "-q", "--backend", _backend(),
+    ]) == 0
+    assert dec.read_bytes() == data
+    # the streamed output is a valid framed stream for the oracle too
+    from snappy_tpu.spec import framing
+
+    assert framing.decompress_framed(out.read_bytes()) == data
+
+
+def test_streaming_meter_records(tmp_path, rng, monkeypatch):
+    """The progress meter is wired through the streaming path."""
+    import importlib
+
+    cli_main = importlib.import_module("snappy_tpu.cli.main")
+    from snappy_tpu.utils import progress
+
+    events = []
+
+    class Recorder(progress.Meter):
+        def start(self, label, total):
+            events.append(("start", label, total))
+
+        def set(self, done):
+            events.append(("set", done))
+
+        def finish(self):
+            events.append(("finish",))
+
+    monkeypatch.setattr(cli_main, "STREAM_THRESHOLD", 50_000)
+    monkeypatch.setattr(cli_main, "_SLAB", 64 << 10)
+    monkeypatch.setattr(cli_main, "_make_meter", lambda args: Recorder())
+    src = tmp_path / "m.bin"
+    src.write_bytes(rng.randbytes(200_000))
+    out = tmp_path / "m.sz"
+    assert main([
+        "compress", str(src), "-o", str(out), "-q", "--backend", _backend(),
+    ]) == 0
+    starts = [e for e in events if e[0] == "start"]
+    sets = [e for e in events if e[0] == "set"]
+    assert starts and starts[0][2] == 200_000
+    assert sets and sets[-1][1] == 200_000
+    assert ("finish",) in events

@@ -117,3 +117,27 @@ def test_reader_rejects_declared_size_before_decoding():
     )
     with pytest.raises(CorruptError):
         FramedReader(io.BytesIO(blob), backend="oracle").read()
+
+
+def test_writer_batched_parity(rng):
+    # the batched flush path must produce a stream the oracle decodes,
+    # identical to the backend's one-shot framing
+    from snappy_tpu import api
+
+    data = rng.randbytes(130000) + (b"compressible " * 30000)[:200000]
+    sink = io.BytesIO()
+    with FramedWriter(sink, backend=_backend(), buffer_chunks=2) as w:
+        for i in range(0, len(data), 50000):  # misaligned writes
+            w.write(data[i : i + 50000])
+    blob = sink.getvalue()
+    assert framing.decompress_framed(blob) == data
+    assert blob == api.compress_framed(data, backend=_backend())
+
+
+def test_writer_batched_device_backend(rng):
+    # jnp backend: one device dispatch per buffered batch
+    data = (b"device batch " * 40000)[:400000] + rng.randbytes(70000)
+    sink = io.BytesIO()
+    with FramedWriter(sink, backend="jnp", buffer_chunks=4) as w:
+        w.write(data)
+    assert framing.decompress_framed(sink.getvalue()) == data
