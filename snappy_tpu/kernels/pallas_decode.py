@@ -89,7 +89,11 @@ def _window(ref3, j, q, r, lane1):
 
 def _emit(out_ref, j, w, dq, dr, lane1):
     """Write window w (bytes d..d+127, d = dq*128+dr) into block j of
-    out_ref, preserving bytes before d and overshooting after."""
+    out_ref, preserving bytes before d and overshooting after.
+
+    out_ref may be a per-lane [1, R, 128] ref (j ignored <=> 0): each
+    interleaved block gets its OWN output ref so Mosaic's alias analysis
+    does not serialize the lanes' independent load/store chains."""
     rot = pltpu.roll(w, shift=dr, axis=1)
     cur = out_ref[j, pl.ds(dq, 1), :]
     out_ref[j, pl.ds(dq, 1), :] = jnp.where(lane1 >= dr, rot, cur)
@@ -147,12 +151,42 @@ def _step_one(j, s, d, comp_ref, out_ref, clen, dlen, lane1):
         jnp.where(lit_bad, jnp.int32(ERR_LITERAL), jnp.int32(ERR_NONE)),
         jnp.where(cop_bad, jnp.int32(ERR_COPY), jnp.int32(ERR_NONE)),
     )
+    ok = e == ERR_NONE
 
     dq0 = d >> 7
     dr = d & (VEC - 1)
 
-    @pl.when(is_lit & (e == ERR_NONE))
+    # Branch-merged common path: load BOTH candidate source windows
+    # unconditionally (independent dyn loads are pipelined ~free,
+    # probe5) with clamped-safe addresses, select the real one, and do
+    # ONE gated emission.  Only overlap-extension and >128-byte
+    # literals take real branches.
+    lit_src = jnp.where(is_lit & ok, s + hdr, jnp.int32(0))
+    cop_src = jnp.where((~is_lit) & ok, d - off, jnp.int32(0))
+    w_lit = _window(comp_ref, j, lit_src >> 7, lit_src & (VEC - 1), lane1)
+    w_cop = _window(out_ref, 0, cop_src >> 7, cop_src & (VEC - 1), lane1)
+
+    def extend(p):
+        # periodic extension for overlapping copies: 7 dependent rolls
+        # (~500 ns), so gated on off < 128
+        v = off
+        for _i in range(7):
+            p = jnp.where(lane1 < v, p, pltpu.roll(p, shift=v, axis=1))
+            v = jnp.minimum(v * 2, VEC)
+        return p
+
+    w_cop = jax.lax.cond(
+        ((~is_lit) & ok & (off < VEC)), extend, lambda p: p, w_cop
+    )
+    w = jnp.where(is_lit, w_lit, w_cop)
+
+    @pl.when(ok)
     def _():
+        _emit(out_ref, 0, w, dq0, dr, lane1)
+
+    @pl.when(ok & is_lit & (ln > VEC))
+    def _():
+        # long literal: remaining 128-byte chunks (first already emitted)
         sb = s + hdr
         sq0 = sb >> 7
         sr = sb & (VEC - 1)
@@ -160,27 +194,10 @@ def _step_one(j, s, d, comp_ref, out_ref, clen, dlen, lane1):
 
         def chunk(k, _):
             ws = _window(comp_ref, j, sq0 + k, sr, lane1)
-            _emit(out_ref, j, ws, dq0 + k, dr, lane1)
+            _emit(out_ref, 0, ws, dq0 + k, dr, lane1)
             return 0
 
-        jax.lax.fori_loop(0, nvec, chunk, 0)
-
-    @pl.when((~is_lit) & (e == ERR_NONE))
-    def _():
-        src = d - off
-        p = _window(out_ref, j, src >> 7, src & (VEC - 1), lane1)
-
-        # periodic extension only for overlapping copies: the doubling
-        # chain is 7 dependent rolls (~500 ns), so gate it on off < 128
-        def extend(p):
-            v = off
-            for _i in range(7):
-                p = jnp.where(lane1 < v, p, pltpu.roll(p, shift=v, axis=1))
-                v = jnp.minimum(v * 2, VEC)
-            return p
-
-        p = jax.lax.cond(off < VEC, extend, lambda p: p, p)
-        _emit(out_ref, j, p, dq0, dr, lane1)
+        jax.lax.fori_loop(1, nvec, chunk, 0)
 
     s2 = s + hdr + jnp.where(is_lit, ln, 0)
     d2 = d + ln
@@ -191,7 +208,9 @@ def _step_one(j, s, d, comp_ref, out_ref, clen, dlen, lane1):
     )
 
 
-def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref):
+def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, *refs):
+    out_refs = refs[:LANES]
+    err_ref = refs[LANES]
     g = pl.program_id(0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, VEC), 1)
 
@@ -217,7 +236,7 @@ def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, out_ref, err_ref):
             s_j = jnp.where(run, ss[j], jnp.int32(0))
             d_j = jnp.where(run, ds[j], jnp.int32(0))
             s2, d2, e2 = _step_one(
-                j, s_j, d_j, comp_ref, out_ref,
+                j, s_j, d_j, comp_ref, out_refs[j],
                 jnp.where(run, clens[j], jnp.int32(0)),
                 jnp.where(run, dlens[j], jnp.int32(0)),
                 lane1,
@@ -269,19 +288,29 @@ def decode_blocks_pallas(comp_u8, starts, clens, dlens, out_max: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((LANES, orows, VEC), lambda g, *_: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # one output ref per interleaved lane: distinct buffers keep
+            # Mosaic's alias analysis from serializing the lanes
+            *[
+                pl.BlockSpec((1, orows, VEC), lambda g, *_: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(LANES)
+            ],
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
     )
-    out3, err = pl.pallas_call(
+    *outs, err = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, orows, VEC), jnp.int32),
+            *[
+                jax.ShapeDtypeStruct((B // LANES, orows, VEC), jnp.int32)
+                for _ in range(LANES)
+            ],
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ),
         interpret=interpret,
     )(starts, clens, dlens, comp3)
+    # lane j of group g is block g*LANES+j
+    out3 = jnp.stack(outs, axis=1).reshape(B, orows, VEC)
     out = out3.reshape(B, orows * VEC)[:, :out_max].astype(jnp.uint8)
     return out, err
