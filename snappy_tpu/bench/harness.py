@@ -144,6 +144,24 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             errs.append(err)
         return int(np.asarray(combine(*errs)))
 
+    def run_decode_pallas():
+        from snappy_tpu.kernels.pallas_decode import decode_blocks_pallas
+
+        errs = []
+        for a in dec_args:
+            out, err = decode_blocks_pallas(*a, out_max=BMAX)
+            errs.append(err)
+        return int(np.asarray(combine(*errs)))
+
+    def run_encode_pallas():
+        from snappy_tpu.kernels.pallas_encode import encode_blocks_pallas
+
+        hs = []
+        for blocks, lens in enc_args:
+            comp, clens, err = encode_blocks_pallas(blocks, lens, bmax=BMAX)
+            hs.append(clens)
+        return int(np.asarray(combine(*hs)))
+
     def run_decode_hybrid():
         from snappy_tpu.kernels.decode_pretagged import decode_blocks_pretagged
 
@@ -183,6 +201,29 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         run_encode()
         enc_times.append(time.perf_counter() - t0)
 
+    # pallas engines: the on-TPU production path (Mosaic kernels; the
+    # interpreter off-TPU would measure nothing useful)
+    pallas_dec_times: list = []
+    pallas_enc_times: list = []
+    if jax.default_backend() == "tpu" and os.environ.get(
+        "SNAPPY_TPU_BENCH_PALLAS", "1"
+    ) != "0":
+        try:
+            assert run_decode_pallas() == 0, "pallas decode reported errors"
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                run_decode_pallas()
+                pallas_dec_times.append(time.perf_counter() - t0)
+            run_encode_pallas()
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                run_encode_pallas()
+                pallas_enc_times.append(time.perf_counter() - t0)
+        except Exception as e:  # pragma: no cover - keep the bench alive
+            pallas_dec_times = pallas_dec_times or []
+            pallas_enc_times = []
+            print(f"[bench] pallas phase failed: {e!r}"[:300])
+
     out = {
         "device_decompress_gbs": round(total / 1e9 / min(dec_times), 4),
         "device_compress_gbs": round(total / 1e9 / min(enc_times), 4),
@@ -192,10 +233,24 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
     }
     if hyb_times:
         # the production framed path (host tag parse + lighter kernel);
-        # headline uses the better of the two decode formulations
+        # headline uses the best decode formulation
         out["device_decompress_hybrid_gbs"] = round(total / 1e9 / min(hyb_times), 4)
         out["device_decompress_gbs"] = max(
             out["device_decompress_gbs"], out["device_decompress_hybrid_gbs"]
+        )
+    if pallas_dec_times:
+        out["device_decompress_pallas_gbs"] = round(
+            total / 1e9 / min(pallas_dec_times), 4
+        )
+        out["device_decompress_gbs"] = max(
+            out["device_decompress_gbs"], out["device_decompress_pallas_gbs"]
+        )
+    if pallas_enc_times:
+        out["device_compress_pallas_gbs"] = round(
+            total / 1e9 / min(pallas_enc_times), 4
+        )
+        out["device_compress_gbs"] = max(
+            out["device_compress_gbs"], out["device_compress_pallas_gbs"]
         )
     return out
 

@@ -261,15 +261,25 @@ def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, *refs):
         err_ref[g * LANES + j] = err
 
 
-@functools.partial(jax.jit, static_argnames=("out_max", "interpret"))
 def decode_blocks_pallas(comp_u8, starts, clens, dlens, out_max: int,
-                         interpret: bool = False):
+                         interpret: bool | None = None):
     """Decode a padded batch of snappy element streams.
 
     comp_u8: uint8[B, cmax] (cmax a multiple of 128, B a multiple of
     LANES); starts/clens/dlens int32[B].  Returns (out uint8[B, out_max],
-    err int32[B]).
+    err int32[B]).  interpret=None auto-selects the pallas interpreter
+    off-TPU (Mosaic targets TPU; CPU is the hermetic test backend).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _decode_blocks_pallas_jit(
+        comp_u8, starts, clens, dlens, out_max=out_max, interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_max", "interpret"))
+def _decode_blocks_pallas_jit(comp_u8, starts, clens, dlens, out_max: int,
+                              interpret: bool):
     B, cmax = comp_u8.shape
     assert cmax % VEC == 0, "compressed row width must be a multiple of 128"
     assert out_max % VEC == 0, "out_max must be a multiple of 128"

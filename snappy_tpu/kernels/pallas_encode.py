@@ -338,16 +338,25 @@ def _step(j, lens_ref, g, src_ref, out_ref, table_ref, st_ref, lane1):
         st_ref[j, _DONE] = 1
 
 
-@functools.partial(jax.jit, static_argnames=("bmax", "interpret"))
-def encode_blocks_pallas(blocks_u8, lens, bmax: int, interpret: bool = False):
+def encode_blocks_pallas(blocks_u8, lens, bmax: int,
+                         interpret: bool | None = None):
     """Encode a padded batch of <=64 KiB blocks (element streams only,
     no varint preamble — the runtime owns framing).
 
     blocks_u8: uint8[B, bmax] (bmax a multiple of 128, B a multiple of
     ELANES); lens int32[B].  Returns (comp uint8[B, cap], clens
     int32[B], err int32[B]); the emission is byte-identical to
-    spec.reference.encode_block.
-    """
+    spec.reference.encode_block.  interpret=None auto-selects the
+    pallas interpreter off-TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _encode_blocks_pallas_jit(
+        blocks_u8, lens, bmax=bmax, interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bmax", "interpret"))
+def _encode_blocks_pallas_jit(blocks_u8, lens, bmax: int, interpret: bool):
     B, width = blocks_u8.shape
     assert width == bmax and bmax % VEC == 0
     assert B % ELANES == 0, f"batch must be a multiple of {ELANES}"

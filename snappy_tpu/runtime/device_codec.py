@@ -103,6 +103,42 @@ def _decode_pretagged_and_crc(arr, recs, ntags, dlens, want_crc, out_max: int):
 # the pure-device path remains for environments without the native lib.
 HOST_PARSE = os.environ.get("SNAPPY_TPU_HOST_PARSE", "1") != "0"
 
+# Pallas sequential kernels (round 2): the only engines that run at
+# real speed on the TPU itself.  "auto" = on when the backend platform
+# is tpu (the Mosaic kernels target TPU; the CPU interpret path is for
+# tests), "1"/"0" force.
+_PALLAS_MODE = os.environ.get("SNAPPY_TPU_PALLAS", "auto")
+_pallas_cache: bool | None = None
+
+
+def _pallas_enabled() -> bool:
+    global _pallas_cache
+    if _pallas_cache is None:
+        if _PALLAS_MODE == "0":
+            _pallas_cache = False
+        elif _PALLAS_MODE == "1":
+            _pallas_cache = True
+        else:
+            try:
+                _pallas_cache = jax.devices()[0].platform == "tpu"
+            except Exception:  # pragma: no cover
+                _pallas_cache = False
+    return _pallas_cache
+
+
+@functools.partial(jax.jit, static_argnames=("out_max",))
+def _decode_pallas_and_crc(arr, starts, clens, dlens, want_crc, out_max: int):
+    """Pallas decode + device CRC.  err: kernel codes 1-4 (caller
+    re-decodes those rows on host for exact error surfacing) or 100 for
+    a checksum mismatch."""
+    from snappy_tpu.kernels.pallas_decode import decode_blocks_pallas
+
+    out, err = decode_blocks_pallas(arr, starts, clens, dlens, out_max=out_max)
+    crc = crc32c_chunks(out, dlens)
+    crc_bad = (crc != want_crc) & (err == 0)
+    err = jnp.where(crc_bad, jnp.int32(100), err)
+    return out, err
+
 # Per-chunk host ratio guard: replace any device emission that exceeds
 # the reference emission (never observed across >26k fuzz inputs, but
 # this makes "<= reference" unconditional).  Costs one native encode per
@@ -150,6 +186,9 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
     bmax = 256
     while bmax < chunk_size:
         bmax *= 2
+    from snappy_tpu.kernels.pallas_encode import ELANES, encode_blocks_pallas
+
+    use_pallas = _pallas_enabled() and BATCH % ELANES == 0
     handles = []
     counts = []
     lens_all = []
@@ -164,20 +203,27 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             chunk = data[off : off + chunk_size]
             arr[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
             lens[i] = len(chunk)
-        handles.append(encode_jnp.encode_blocks(arr, lens, bmax=bmax))
+        if use_pallas:
+            # pallas emission is byte-identical to the reference encoder
+            # (tests/test_pallas_encode.py) — ratio bound is structural,
+            # no ok-flag and no RATIO_GUARD needed on this engine
+            comp, clens, _perr = encode_blocks_pallas(arr, lens, bmax=bmax)
+            handles.append(("pallas", (comp, clens, None)))
+        else:
+            handles.append(("jnp", encode_jnp.encode_blocks(arr, lens, bmax=bmax)))
         counts.append(cnt)
         lens_all.append(lens)
     # overlap the (slow) D2H fetches: start async copies of the small
     # outputs for every batch before consuming any
-    for comp, clen, ok in handles:
+    for _, (comp, clen, ok) in handles:
         for h in (clen, ok):
             if hasattr(h, "copy_to_host_async"):
                 h.copy_to_host_async()
-    for bi, (comp, clen, ok) in enumerate(handles):
+    for bi, (engine, (comp, clen, ok)) in enumerate(handles):
         base = bi * BATCH
         cnt = counts[bi]
         clen_h = np.asarray(clen)[:cnt]
-        ok_h = np.asarray(ok)[:cnt]
+        ok_h = np.asarray(ok)[:cnt] if ok is not None else np.ones(cnt, bool)
         kmax = int(clen_h.max()) if clen_h.size else 0
         kmax = min((kmax + 511) & ~511, comp.shape[1])
         comp_h = np.asarray(comp[:cnt, :kmax]) if kmax else np.zeros((cnt, 0), np.uint8)
@@ -188,7 +234,9 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             else:  # hash-collision fallback (~never)
                 off = idx * chunk_size
                 blob = _oracle_block(bytes(data[off : off + chunk_size]))
-            if RATIO_GUARD:
+            if RATIO_GUARD and engine != "pallas":
+                # pallas emission IS the reference emission; guard only
+                # the approximating jnp engine
                 off = idx * chunk_size
                 ref = _oracle_block(bytes(data[off : off + chunk_size]))
                 if len(ref) < len(blob):  # pragma: no cover - never observed
@@ -342,6 +390,11 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
         from snappy_tpu import native as _native
 
         use_host_parse = HOST_PARSE and use_dev_crc and _native.available()
+        from snappy_tpu.kernels.pallas_decode import LANES as _PD_LANES
+
+        use_pallas = (
+            _pallas_enabled() and use_dev_crc and BATCH % _PD_LANES == 0
+        )
         # Max elements per chunk: every element is >= 2 payload bytes
         # (1-byte-literal tag+data, or a 1-byte-offset copy), so a
         # p_len <= _DECODE_CMAX payload holds at most _DECODE_CMAX//2
@@ -374,7 +427,15 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 clens[row] = p_len
                 dlens[row] = dst_len
                 want[row] = unmask_crc(crc)
-            if use_host_parse:
+            if use_pallas:
+                handles.append((
+                    "pallas",
+                    _decode_pallas_and_crc(
+                        arr, starts, clens, dlens, want,
+                        out_max=MAX_CHUNK_UNCOMPRESSED,
+                    ),
+                ))
+            elif use_host_parse:
                 # hybrid: validate + tag-parse on host (native C++),
                 # device does only the per-byte materialization + CRC
                 tmp = np.empty((_T_CAP, 4), dtype=np.int32)
@@ -396,28 +457,32 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 for row, p in enumerate(parsed):
                     recs[row, : len(p)] = p
                     ntags[row] = len(p)
-                handles.append(
+                handles.append((
+                    "hybrid",
                     _decode_pretagged_and_crc(
                         arr, recs, ntags, dlens, want, out_max=MAX_CHUNK_UNCOMPRESSED
-                    )
-                )
+                    ),
+                ))
             elif use_dev_crc:
-                handles.append(
+                handles.append((
+                    "jnp",
                     _decode_and_crc(
                         arr, starts, clens, dlens, want, out_max=MAX_CHUNK_UNCOMPRESSED
-                    )
-                )
+                    ),
+                ))
             else:
-                handles.append(
+                handles.append((
+                    "jnp",
                     decode_jnp.decode_blocks(
                         arr, starts, clens, dlens, out_max=MAX_CHUNK_UNCOMPRESSED
-                    )
-                )
-        for res, err in handles:  # overlap the slow D2H fetches
+                    ),
+                ))
+        for _, (res, err) in handles:  # overlap the slow D2H fetches
             for h in (res, err):
                 if hasattr(h, "copy_to_host_async"):
                     h.copy_to_host_async()
-        for bi, (res, err) in enumerate(handles):
+        pallas_fallback = set()
+        for bi, (engine, (res, err)) in enumerate(handles):
             grp = comp_idx[bi * BATCH : (bi + 1) * BATCH]
             err_h = np.asarray(err)
             res_h = np.asarray(res)
@@ -426,6 +491,22 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 if code == 100:
                     raise ChecksumError(chunks[i][3], 0)
                 if code != decode_jnp.ERR_NONE:
+                    if engine == "pallas":
+                        # pallas err codes are coarse flags: re-decode on
+                        # host for the exact error (raises on corruption)
+                        _, p_off, p_len, _, dst_len, _ = chunks[i]
+                        blob = _host_decompress_raw(
+                            bytes(src_arr[p_off : p_off + p_len])
+                        )
+                        if len(blob) != dst_len:
+                            raise CorruptError(
+                                "chunk preamble disagrees with decoded size"
+                            )
+                        out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(
+                            blob, dtype=np.uint8
+                        )
+                        pallas_fallback.add(i)
+                        continue
                     raise CorruptError(
                         decode_jnp.ERR_MESSAGES.get(code, "decode error")
                     )
@@ -436,7 +517,8 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
         dev_checked = DEVICE_CRC and MAX_CHUNK_UNCOMPRESSED == _CRC_CHUNK
         for i in subset:
             ch = chunks[i]
-            if dev_checked and ch[0] == CHUNK_COMPRESSED and i not in host_idx:
+            if (dev_checked and ch[0] == CHUNK_COMPRESSED
+                    and i not in host_idx and i not in pallas_fallback):
                 continue  # verified on device inside _decode_and_crc
             got = mask_crc(_crc32c_host(out[dst_offs[i] : dst_offs[i] + ch[4]]))
             if got != ch[3]:

@@ -122,3 +122,22 @@ def test_tag_cap_hybrid_path():
     framed = _frame_one_chunk(elems, data)
     assert len(elems) + 1 + 2 <= device_codec._DECODE_CMAX
     assert device_codec.decompress_framed(framed) == data
+
+
+def test_pallas_engine_framed_roundtrip(rng, monkeypatch):
+    """Force the pallas engines through the production framed paths
+    (interpret mode on the CPU mesh): encode emission must round-trip
+    and decode must verify CRC on-device."""
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    monkeypatch.setattr(device_codec, "BATCH", 4)
+    data = (b"pallas engine " * 3000)[:40000] + rng.randbytes(20000)
+    framed = device_codec.compress_framed(data)
+    assert device_codec.decompress_framed(framed) == data
+    # oracle interop both directions
+    assert framing.decompress_framed(framed) == data
+    assert device_codec.decompress_framed(framing.compress_framed(data)) == data
+    # corruption through the pallas decode path still raises
+    bad = bytearray(framed)
+    bad[-3] ^= 0xFF
+    with pytest.raises((ChecksumError, CorruptError)):
+        device_codec.decompress_framed(bytes(bad))
