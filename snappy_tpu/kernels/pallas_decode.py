@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["decode_blocks_pallas", "rows_for", "argsort_rows", "LANES"]
 
 VEC = 128
-LANES = 4  # blocks interleaved per grid step (latency hiding)
+LANES = 8  # blocks interleaved per grid step (latency hiding)
 
 ERR_NONE = 0
 ERR_LITERAL = 1
@@ -100,10 +100,20 @@ def _emit(out_ref, j, w, dq, dr, lane1):
     out_ref[j, pl.ds(dq + 1, 1), :] = rot
 
 
-def _step_one(j, s, d, comp_ref, out_ref, clen, dlen, lane1):
-    """Decode one element of block j.  Returns (s', d', err)."""
-    w = _window(comp_ref, j, s >> 7, s & (VEC - 1), lane1)
-    b0, b1, b2, b3, b4 = (w[0, 0], w[0, 1], w[0, 2], w[0, 3], w[0, 4])
+def _step_one(j, s, d, comp_ref, comp32_ref, out_ref, clen, dlen, lane1):
+    """Decode one element of block j.  Returns (s', d', err).
+
+    Parsing reads the word-combined mirror (comp32[i] = LE32 of bytes
+    i..i+3): two vector->scalar extracts (~45 ns each, serial) replace
+    five byte extracts."""
+    w32 = _window(comp32_ref, j, s >> 7, s & (VEC - 1), lane1)
+    u0 = w32[0, 0]
+    u1 = w32[0, 1]
+    b0 = u0 & 255
+    b1 = (u0 >> 8) & 255
+    b2 = (u0 >> 16) & 255
+    b3 = jax.lax.shift_right_logical(u0, 24) & 255
+    b4 = u1 & 255
     tag = b0 & 3
     x = b0 >> 2
     is_lit = tag == 0
@@ -208,7 +218,7 @@ def _step_one(j, s, d, comp_ref, out_ref, clen, dlen, lane1):
     )
 
 
-def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, *refs):
+def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, comp32_ref, *refs):
     out_refs = refs[:LANES]
     err_ref = refs[LANES]
     g = pl.program_id(0)
@@ -236,7 +246,7 @@ def _kernel(starts_ref, clens_ref, dlens_ref, comp_ref, *refs):
             s_j = jnp.where(run, ss[j], jnp.int32(0))
             d_j = jnp.where(run, ds[j], jnp.int32(0))
             s2, d2, e2 = _step_one(
-                j, s_j, d_j, comp_ref, out_refs[j],
+                j, s_j, d_j, comp_ref, comp32_ref, out_refs[j],
                 jnp.where(run, clens[j], jnp.int32(0)),
                 jnp.where(run, dlens[j], jnp.int32(0)),
                 lane1,
@@ -290,10 +300,21 @@ def _decode_blocks_pallas_jit(comp_u8, starts, clens, dlens, out_max: int,
     comp3 = comp3.at[:, : cmax // VEC, :].set(
         comp_u8.astype(jnp.int32).reshape(B, cmax // VEC, VEC)
     )
+    # word-combined mirror for the 2-extract parse (cheap XLA prepass)
+    flat = comp3.reshape(B, cr * VEC)
+    w32 = (
+        flat
+        | jnp.roll(flat, -1, axis=1) << 8
+        | jnp.roll(flat, -2, axis=1) << 16
+        | jnp.roll(flat, -3, axis=1) << 24
+    )
+    comp32 = w32.reshape(B, cr, VEC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B // LANES,),
         in_specs=[
+            pl.BlockSpec((LANES, cr, VEC), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, cr, VEC), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -319,7 +340,7 @@ def _decode_blocks_pallas_jit(comp_u8, starts, clens, dlens, out_max: int,
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ),
         interpret=interpret,
-    )(starts, clens, dlens, comp3)
+    )(starts, clens, dlens, comp3, comp32)
     # lane j of group g is block g*LANES+j
     out3 = jnp.stack(outs, axis=1).reshape(B, orows, VEC)
     out = out3.reshape(B, orows * VEC)[:, :out_max].astype(jnp.uint8)

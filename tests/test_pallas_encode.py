@@ -71,6 +71,12 @@ def test_roundtrip_through_decoder(rng):
         b"z" * 7000,
     ]
     samples, comp, clens, err = _encode(samples, 8192)
+    from snappy_tpu.kernels.pallas_decode import LANES
+
+    while len(samples) % LANES:
+        samples.append(b"")
+        comp = np.pad(comp, ((0, 1), (0, 0)))
+        clens = np.append(clens, 0)
     B = len(samples)
     starts = np.zeros(B, np.int32)
     dlens = np.array([len(s) for s in samples], np.int32)

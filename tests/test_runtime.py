@@ -129,7 +129,7 @@ def test_pallas_engine_framed_roundtrip(rng, monkeypatch):
     (interpret mode on the CPU mesh): encode emission must round-trip
     and decode must verify CRC on-device."""
     monkeypatch.setattr(device_codec, "_pallas_cache", True)
-    monkeypatch.setattr(device_codec, "BATCH", 4)
+    monkeypatch.setattr(device_codec, "BATCH", 8)
     data = (b"pallas engine " * 3000)[:40000] + rng.randbytes(20000)
     framed = device_codec.compress_framed(data)
     assert device_codec.decompress_framed(framed) == data
