@@ -63,3 +63,74 @@ def test_framed_reserved_unskippable():
     stream = bytes.fromhex("ff060000") + b"sNaPpY" + bytes([0x30, 1, 0, 0, 0xAB])
     with pytest.raises(UnsupportedError):
         native.decompress_framed(stream)
+
+
+def test_framed_threads_param(rng):
+    """Threaded framed encode/decode must be byte-compatible with the
+    single-threaded path and round-trip exactly."""
+    native = pytest.importorskip("snappy_tpu.native")
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = (b"threads " * 40000)[:200000] + rng.randbytes(150000)
+    base = native.compress_framed(data, threads=1)
+    for th in (2, 4):
+        blob = native.compress_framed(data, threads=th)
+        assert blob == base  # deterministic regardless of thread count
+        assert native.decompress_framed(blob, threads=th) == data
+    from snappy_tpu.spec import framing
+
+    assert framing.decompress_framed(base) == data
+
+
+def test_framed_decode_error_surface(rng):
+    native = pytest.importorskip("snappy_tpu.native")
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from snappy_tpu.errors import (
+        BadMagicError, ChecksumError, CorruptError, SnappyError,
+        UnsupportedError,
+    )
+
+    data = rng.randbytes(70000)
+    blob = bytearray(native.compress_framed(data))
+    # checksum flip
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises((ChecksumError, CorruptError)):
+        native.decompress_framed(bytes(bad))
+    # reserved unskippable chunk type
+    bad = bytes(blob) + bytes((0x05, 1, 0, 0, 0xAA))
+    with pytest.raises((UnsupportedError, CorruptError, SnappyError)):
+        native.decompress_framed(bad)
+    # truncation
+    with pytest.raises((CorruptError, SnappyError)):
+        native.decompress_framed(bytes(blob[:-3]))
+    # verify_checksums=False skips CRC but still decodes structure
+    bad = bytearray(blob)
+    bad[10 + 4] ^= 0xFF  # flip a crc byte of the first data chunk
+    out = native.decompress_framed(bytes(bad), verify_checksums=False)
+    assert out == data
+
+
+def test_parse_tags_validates(rng):
+    native = pytest.importorskip("snappy_tpu.native")
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import numpy as np
+    from snappy_tpu.errors import CorruptError, SnappyError
+    from snappy_tpu.spec import reference
+    from snappy_tpu.spec.format import read_uvarint
+
+    data = (b"parse tags " * 200)[:2000]
+    c = reference.compress(data)
+    _, h = read_uvarint(c, 0)
+    rec = np.empty((4096, 4), np.int32)
+    nt = native.parse_tags(c, h, len(data), rec)
+    assert nt > 0
+    # total output length of the records equals the decoded size
+    assert int(rec[:nt, 1].sum()) == len(data)
+    # corrupted element stream must raise, not emit bogus records
+    bad = bytearray(c)
+    bad[h] = 0xFE  # literal with absurd length header
+    with pytest.raises((CorruptError, SnappyError)):
+        native.parse_tags(bytes(bad), h, len(data), rec)

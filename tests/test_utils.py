@@ -48,3 +48,39 @@ def test_log_error_returns_same(caplog):
 def test_tune_allocator_idempotent():
     assert tune_allocator() in (True, False)
     tune_allocator()  # second call is a no-op
+
+
+def test_text_meter_throttles_updates():
+    buf = io.StringIO()
+    m = TextMeter(stream=buf)
+    m.start("t", 10_000)
+    for i in range(100):
+        m.set(i)  # sub-0.1s apart: most must be dropped
+    assert buf.getvalue().count("\r") <= 3
+
+
+def test_default_meter_tty(monkeypatch):
+    from snappy_tpu.utils import progress
+
+    monkeypatch.setattr(progress.os, "isatty", lambda fd: True)
+    assert isinstance(progress.default_meter(), TextMeter)
+
+
+def test_exit_code_contract():
+    from snappy_tpu import errors
+
+    assert errors.exit_code_for(errors.CorruptError("x")) == errors.EXIT_CORRUPT
+    assert errors.exit_code_for(errors.ChecksumError(1, 2)) == errors.EXIT_CHECKSUM
+    assert (
+        errors.exit_code_for(errors.UnsupportedError(5)) == errors.EXIT_UNSUPPORTED
+    )
+    assert errors.exit_code_for(errors.TooLargeError(9)) == errors.EXIT_TOO_LARGE
+    assert errors.exit_code_for(errors.BadMagicError()) == errors.EXIT_CORRUPT
+    # unknown exceptions map to the generic failure code
+    assert errors.exit_code_for(RuntimeError("?")) not in (0, None)
+
+
+def test_warm_heap_smoke():
+    from snappy_tpu.utils.hostmem import warm_heap
+
+    warm_heap(1 << 20)  # must not raise; idempotent tuning inside
