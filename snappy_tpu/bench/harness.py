@@ -153,6 +153,46 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             errs.append(err)
         return int(np.asarray(combine(*errs)))
 
+    # wave-group staging: host parse + plan (the production TPU path)
+    wave_args = []
+    if native.available():
+        from snappy_tpu.kernels.decode_wavegroup import pack_plan
+        from snappy_tpu.runtime.device_codec import WAVE_G_CAP
+
+        tmp = np.empty((CMAX // 2 + 2, 4), np.int32)
+        wtmp = np.zeros((WAVE_G_CAP, 16), np.int32)
+        for (comp_h, starts_h, clens_h), (comp_d, _, _, dlens_d) in zip(
+            dec_args_host, dec_args
+        ):
+            wp = np.zeros((B, WAVE_G_CAP // 8, 128), np.int32)
+            ng = np.zeros(B, np.int32)
+            ok = True
+            for i in range(B):
+                nt = native.parse_tags(
+                    comp_h[i, : clens_h[i]].tobytes(), int(starts_h[i]), BMAX, tmp
+                )
+                g = native.plan_waves(tmp, nt, wtmp)
+                if g is None:
+                    ok = False
+                    break
+                wp[i] = pack_plan(wtmp, g, WAVE_G_CAP)
+                ng[i] = g
+            if not ok:
+                wave_args = []
+                break
+            wave_args.append(
+                (comp_d, jax.device_put(wp), jax.device_put(ng))
+            )
+
+    def run_decode_wave():
+        from snappy_tpu.kernels.decode_wavegroup import decode_blocks_wavegroup
+
+        outs = []
+        for comp_d, wp_d, ng_d in wave_args:
+            out = decode_blocks_wavegroup(comp_d, wp_d, ng_d, out_max=BMAX)
+            outs.append(out[:, :1].astype(jnp.int32))
+        return int(np.asarray(combine(*outs)))
+
     def run_encode_pallas():
         from snappy_tpu.kernels.pallas_encode import encode_blocks_pallas
 
@@ -205,6 +245,7 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
     # interpreter off-TPU would measure nothing useful)
     pallas_dec_times: list = []
     pallas_enc_times: list = []
+    wave_dec_times: list = []
     if jax.default_backend() == "tpu" and os.environ.get(
         "SNAPPY_TPU_BENCH_PALLAS", "1"
     ) != "0":
@@ -223,6 +264,16 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             pallas_dec_times = pallas_dec_times or []
             pallas_enc_times = []
             print(f"[bench] pallas phase failed: {e!r}"[:300])
+        try:
+            if wave_args:
+                run_decode_wave()  # warmup
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    run_decode_wave()
+                    wave_dec_times.append(time.perf_counter() - t0)
+        except Exception as e:  # pragma: no cover - keep the bench alive
+            wave_dec_times = []
+            print(f"[bench] wave phase failed: {e!r}"[:300])
 
     out = {
         "device_decompress_gbs": round(total / 1e9 / min(dec_times), 4),
@@ -244,6 +295,13 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         )
         out["device_decompress_gbs"] = max(
             out["device_decompress_gbs"], out["device_decompress_pallas_gbs"]
+        )
+    if wave_dec_times:
+        out["device_decompress_wave_gbs"] = round(
+            total / 1e9 / min(wave_dec_times), 4
+        )
+        out["device_decompress_gbs"] = max(
+            out["device_decompress_gbs"], out["device_decompress_wave_gbs"]
         )
     if pallas_enc_times:
         out["device_compress_pallas_gbs"] = round(

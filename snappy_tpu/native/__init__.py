@@ -107,6 +107,10 @@ def _load():
             u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
             i32p, ctypes.c_uint64,
         ]
+        lib.sn_plan_waves.restype = ctypes.c_int64
+        lib.sn_plan_waves.argtypes = [
+            i32p, ctypes.c_uint64, i32p, ctypes.c_uint64,
+        ]
         lib.sn_compress_framed.restype = ctypes.c_int64
         lib.sn_compress_framed.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int,
@@ -175,6 +179,24 @@ def parse_tags(
         _as_u8p(src), len(data), start, dst_len,
         rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), rec.shape[0],
     )
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc)
+
+
+def plan_waves(rec: np.ndarray, n_tags: int, words: np.ndarray) -> int | None:
+    """C++ wave-group planner (see sn_plan_waves).  rec: int32[(T,4)]
+    from parse_tags; words: int32[(cap_groups, 16)] output, overwritten.
+    Returns the group count, or None when the plan exceeds the cap
+    (caller picks another engine).  Mirrors
+    kernels.decode_wavegroup.plan_waves decision-for-decision."""
+    lib = _load()
+    rc = lib.sn_plan_waves(
+        rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_tags,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), words.shape[0],
+    )
+    if rc == -5:
+        return None
     if rc < 0:
         _raise(int(rc))
     return int(rc)

@@ -575,4 +575,69 @@ int64_t sn_decompress_framed(const uint8_t* src, uint64_t n, uint8_t* dst,
   return (int64_t)out;
 }
 
+// Wave-group planner for the TPU wave decoder (kernels/decode_wavegroup
+// .py): takes sn_parse_tags records and emits packed 8-slot groups.
+// Mirrors plan_waves decision-for-decision; the Python planner is the
+// readable contract, this is the production-speed path.
+//   rec:   int32[n_tags * 4]   (kind, out_len, offset|lit_src, out_start)
+//   words: int32[cap_groups * 16]  (slot k: src|is_out<<17, dst|len<<17)
+// Returns the group count, or SN_ERR_BUFFER if cap_groups is exceeded.
+int64_t sn_plan_waves(const int32_t* rec, uint64_t n_tags, int32_t* words,
+                      uint64_t cap_groups) {
+  const int kSlots = 8;
+  const int64_t kSpanBytes = 1024;
+  uint64_t g = 0;       // completed groups
+  int cur = 0;          // slots used in the open group
+  int64_t d0 = 0;       // open group's output start
+  int32_t* w = words;   // open group's 16 words
+
+  auto admit = [&](int64_t src, int64_t dst, int64_t ln, int is_out) -> bool {
+    bool need_new = cur == kSlots || (is_out && src + ln > d0) ||
+                    (dst + ln - d0 > kSpanBytes);
+    if (need_new || cur == 0) {
+      if (cur) {
+        g++;
+        cur = 0;
+      }
+      if (g >= cap_groups) return false;
+      w = words + g * 16;
+      for (int i = 0; i < 16; i++) w[i] = 0;
+      d0 = dst;
+    }
+    w[2 * cur] = (int32_t)(src | ((int64_t)is_out << 17));
+    w[2 * cur + 1] = (int32_t)(dst | (ln << 17));
+    cur++;
+    return true;
+  };
+
+  // zero the first group eagerly so empty plans read clean
+  if (cap_groups) for (int i = 0; i < 16; i++) words[i] = 0;
+
+  for (uint64_t t = 0; t < n_tags; t++) {
+    int32_t kind = rec[4 * t + 0];
+    int64_t out_len = rec[4 * t + 1];
+    int64_t arg = rec[4 * t + 2];
+    int64_t out_start = rec[4 * t + 3];
+    if (kind == 0) {
+      for (int64_t pos = 0; pos < out_len;) {
+        int64_t ln = out_len - pos < 128 ? out_len - pos : 128;
+        if (!admit(arg + pos, out_start + pos, ln, 0)) return SN_ERR_BUFFER;
+        pos += ln;
+      }
+    } else {
+      int64_t off = arg, d = out_start, remaining = out_len, cur_off = off;
+      while (remaining > 0) {
+        int64_t ln = cur_off < remaining ? cur_off : remaining;
+        if (ln > 128) ln = 128;
+        if (!admit(d - cur_off, d, ln, 1)) return SN_ERR_BUFFER;
+        d += ln;
+        remaining -= ln;
+        cur_off += ln;
+      }
+    }
+  }
+  if (cur) g++;
+  return (int64_t)g;
+}
+
 }  // extern "C"

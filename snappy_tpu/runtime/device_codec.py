@@ -139,6 +139,22 @@ def _decode_pallas_and_crc(arr, starts, clens, dlens, want_crc, out_max: int):
     err = jnp.where(crc_bad, jnp.int32(100), err)
     return out, err
 
+
+# Wave-plan capacity: one kernel variant (compile time matters through
+# the remote Mosaic service); plans that exceed it fall back per chunk.
+WAVE_G_CAP = 8192
+
+
+@functools.partial(jax.jit, static_argnames=("out_max",))
+def _decode_wave_and_crc(arr, words, ngroups, dlens, want_crc, out_max: int):
+    """Wave-group decode (validated host plans) + device CRC."""
+    from snappy_tpu.kernels.decode_wavegroup import decode_blocks_wavegroup
+
+    out = decode_blocks_wavegroup(arr, words, ngroups, out_max=out_max)
+    crc = crc32c_chunks(out, dlens)
+    err = jnp.where(crc != want_crc, jnp.int32(100), jnp.int32(0))
+    return out, err
+
 # Per-chunk host ratio guard: replace any device emission that exceeds
 # the reference emission (never observed across >26k fuzz inputs, but
 # this makes "<= reference" unconditional).  Costs one native encode per
@@ -363,6 +379,9 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
     the multi-host layer shares with single-host decompress_framed:
     chunk independence makes the split structural (SURVEY.md §7.4)."""
     subset = list(subset)
+    # chunks decoded on host inside the device batches (plan overflow,
+    # kernel error re-decode): their CRCs are verified on host at the end
+    fallback_verify: set = set()
     all_comp = [i for i in subset if chunks[i][0] == CHUNK_COMPRESSED]
     # The format allows payloads up to ~2x the decoded size (1-byte
     # literals are 2 bytes each); payloads beyond the device row width
@@ -395,6 +414,9 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
         use_pallas = (
             _pallas_enabled() and use_dev_crc and BATCH % _PD_LANES == 0
         )
+        # wave-group engine: host parse + plan (native, ~1.4 GB/s) +
+        # the fastest device kernel (docs/performance.md round-2 table)
+        use_wave = use_pallas and _native.available()
         # Max elements per chunk: every element is >= 2 payload bytes
         # (1-byte-literal tag+data, or a 1-byte-offset copy), so a
         # p_len <= _DECODE_CMAX payload holds at most _DECODE_CMAX//2
@@ -427,13 +449,60 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 clens[row] = p_len
                 dlens[row] = dst_len
                 want[row] = unmask_crc(crc)
-            if use_pallas:
+            wave_failed = False
+            if use_wave:
+                from snappy_tpu.kernels.decode_wavegroup import pack_plan
+
+                tmp = np.empty((_T_CAP, 4), dtype=np.int32)
+                wtmp = np.zeros((WAVE_G_CAP, 16), dtype=np.int32)
+                wp = np.zeros((BATCH, WAVE_G_CAP // 8, 128), dtype=np.int32)
+                ng = np.zeros(BATCH, dtype=np.int32)
+                host_rows = set()
+                dlens_w = dlens.copy()
+                want_w = want.copy()
+                for row, i in enumerate(grp):
+                    _, p_off, p_len, crc, dst_len, hdr = chunks[i]
+                    nt = _native.parse_tags(
+                        src_arr[p_off : p_off + p_len].tobytes(), hdr, dst_len, tmp
+                    )
+                    g = _native.plan_waves(tmp, nt, wtmp)
+                    if g is None:
+                        # pathological plan density: this chunk decodes
+                        # on host; neutralize its device row
+                        blob = _host_decompress_raw(
+                            bytes(src_arr[p_off : p_off + p_len])
+                        )
+                        if len(blob) != dst_len:
+                            raise CorruptError(
+                                "chunk preamble disagrees with decoded size"
+                            )
+                        out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(
+                            blob, dtype=np.uint8
+                        )
+                        host_rows.add(row)
+                        fallback_verify.add(i)
+                        ng[row] = 0
+                        dlens_w[row] = 0
+                        want_w[row] = 0
+                        continue
+                    wp[row] = pack_plan(wtmp, g, WAVE_G_CAP)
+                    ng[row] = g
+                handles.append((
+                    "wave",
+                    _decode_wave_and_crc(
+                        arr, wp, ng, dlens_w, want_w,
+                        out_max=MAX_CHUNK_UNCOMPRESSED,
+                    ),
+                    host_rows,
+                ))
+            elif use_pallas:
                 handles.append((
                     "pallas",
                     _decode_pallas_and_crc(
                         arr, starts, clens, dlens, want,
                         out_max=MAX_CHUNK_UNCOMPRESSED,
                     ),
+                    None,
                 ))
             elif use_host_parse:
                 # hybrid: validate + tag-parse on host (native C++),
@@ -462,6 +531,7 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                     _decode_pretagged_and_crc(
                         arr, recs, ntags, dlens, want, out_max=MAX_CHUNK_UNCOMPRESSED
                     ),
+                    None,
                 ))
             elif use_dev_crc:
                 handles.append((
@@ -469,6 +539,7 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                     _decode_and_crc(
                         arr, starts, clens, dlens, want, out_max=MAX_CHUNK_UNCOMPRESSED
                     ),
+                    None,
                 ))
             else:
                 handles.append((
@@ -476,17 +547,19 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                     decode_jnp.decode_blocks(
                         arr, starts, clens, dlens, out_max=MAX_CHUNK_UNCOMPRESSED
                     ),
+                    None,
                 ))
-        for _, (res, err) in handles:  # overlap the slow D2H fetches
+        for _, (res, err), _aux in handles:  # overlap the slow D2H fetches
             for h in (res, err):
                 if hasattr(h, "copy_to_host_async"):
                     h.copy_to_host_async()
-        pallas_fallback = set()
-        for bi, (engine, (res, err)) in enumerate(handles):
+        for bi, (engine, (res, err), aux) in enumerate(handles):
             grp = comp_idx[bi * BATCH : (bi + 1) * BATCH]
             err_h = np.asarray(err)
             res_h = np.asarray(res)
             for row, i in enumerate(grp):
+                if aux and row in aux:
+                    continue  # already decoded on host in the batch loop
                 code = int(err_h[row])
                 if code == 100:
                     raise ChecksumError(chunks[i][3], 0)
@@ -505,7 +578,7 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                         out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(
                             blob, dtype=np.uint8
                         )
-                        pallas_fallback.add(i)
+                        fallback_verify.add(i)
                         continue
                     raise CorruptError(
                         decode_jnp.ERR_MESSAGES.get(code, "decode error")
@@ -518,7 +591,7 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
         for i in subset:
             ch = chunks[i]
             if (dev_checked and ch[0] == CHUNK_COMPRESSED
-                    and i not in host_idx and i not in pallas_fallback):
+                    and i not in host_idx and i not in fallback_verify):
                 continue  # verified on device inside _decode_and_crc
             got = mask_crc(_crc32c_host(out[dst_offs[i] : dst_offs[i] + ch[4]]))
             if got != ch[3]:

@@ -120,3 +120,25 @@ def test_empty_and_tiny(rng):
         c, dlen, words, g = _plan(data)
         out = execute_waves_np(words, g, np.frombuffer(c, np.uint8), dlen)
         assert out.tobytes() == data
+
+
+def test_cpp_planner_matches_python(rng):
+    """sn_plan_waves must reproduce the Python planner word-for-word."""
+    for data in _samples(rng) + [rng.randbytes(30000)]:
+        c = reference.compress(data)
+        dlen, h = read_uvarint(c, 0)
+        nt = native.parse_tags(c, h, dlen, _TMP)
+        py = plan_waves(_TMP, nt)
+        assert py is not None
+        words_py, g_py = py
+        words_c = np.zeros((16384, 16), np.int32)
+        g_c = native.plan_waves(_TMP, nt, words_c)
+        assert g_c == g_py
+        assert (words_c[:g_c] == words_py[:g_py]).all()
+    # cap overflow -> None, mirroring the Python planner
+    data = bytes(range(256)) * 8
+    c = reference.compress(data)
+    dlen, h = read_uvarint(c, 0)
+    nt = native.parse_tags(c, h, dlen, _TMP)
+    tiny = np.zeros((1, 16), np.int32)
+    assert native.plan_waves(_TMP, nt, tiny) is None
