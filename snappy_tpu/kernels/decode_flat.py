@@ -1,0 +1,498 @@
+"""Flat-plan decoder: host resolves every output byte to a dependency-free
+source, the TPU executes 512-piece trips with MXU one-hot gathers.
+
+Why (docs/performance.md): every prior on-TPU decode engine is bound by
+Mosaic's strictly in-order execution of a serial dependency chain —
+~370-900 ns per group/tag.  The flat plan removes the chain entirely:
+
+- The host planner walks the tag stream once and maintains a *resolved
+  map* from output intervals to linear windows of a byte buffer ``B``
+  (= one zero pad row + the compressed payload + a "patterns"
+  side-buffer of materialized periodic runs).  Copies are resolved
+  through the map at plan time, so every emitted *piece* reads only
+  ``B`` — no piece depends on another piece's output.
+- Pieces are split at output-row boundaries (dst stays in one 128-byte
+  row, len <= 128) and carry a linear source: out[drow*128+l] =
+  B[base + l - dphi] for l in [dphi, dphi+len).
+- The device kernel executes 4 subpanels of 128 pieces per loop trip.
+  Per subpanel: a one-hot [128, W] row-select matmul against a
+  dynamically sliced W-row window of B gathers every piece's source
+  row pair at MXU rate; per-piece lane alignment is applied either by
+  take_along_axis(axis=1) or by a masked 7-roll barrel shifter (both
+  Mosaic-provable; see tools/mosaic_probe9/10); and a one-hot
+  [128, 128] compose matmul scatters the masked piece rows into the
+  subpanel's 128-row destination bin of the output (dynamic-start
+  read-modify-write accumulate, the wave kernel's proven construct).
+  Disjoint destination bytes make the f32 accumulation exact.  The
+  packer bins pieces by (dst>>14, then source row) so both the gather
+  and the compose stay windowed — a full-height compose matmul is the
+  one construct the Mosaic service rejects (tools/mosaic_probe10).
+
+Overlapping copies: snappy copy ops have len <= 64, so an overlapping
+copy always has period p = offset < 64.  The planner materializes the
+run's pattern once into a 256-byte ``pat256`` (the pattern repeated),
+after which every piece of the run — and of any later copy sourcing the
+run — is again *linear* into pat256, because the mod-p wrap can be
+hoisted to the piece start: (dst - anchor) mod p + 127 < 256.  Chained
+RLE copies whose source lies in a single periodic entry reuse the same
+pattern, so a megabyte of zeros costs one 256-byte pattern.  If the
+pattern budget is exhausted the planner falls back to offset-doubling
+pieces (resolved through the map like any copy).
+
+Plans come from validated streams (native sn_parse_tags), mirroring the
+wave engine's trust model; the runtime's device CRC covers the output
+end to end.  `execute_flat_np` replays a *packed* plan byte-for-byte on
+numpy and is the contract the pallas kernel is tested against.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "PANEL",
+    "NSUB",
+    "W_ROWS",
+    "PAT_ROWS",
+    "TRIP_CAP",
+    "plan_flat",
+    "pack_trips",
+    "execute_flat_np",
+    "decode_blocks_flat",
+    "build_b_bytes",
+    "rows_b_for",
+]
+
+VEC = 128
+NSUB = 4             # subpanels per device loop trip
+PANEL = NSUB * VEC   # pieces per trip
+W_ROWS = 128         # source window rows per subpanel (static slice width)
+PAT_ROWS = 256       # pattern + mirror side-buffer rows (32 KiB)
+OUT_ROWS = 520       # 64 KiB output + slack, multiple of 8
+TRIP_CAP = 96        # device trips per block (fallback past this)
+
+_LIN, _PER = 0, 1
+
+# Materialize a 256 B pattern for every overlapping copy (snappy copy
+# len <= 64 means the period is always < 64).  Only when the pattern
+# budget is exhausted do we fall back to offset-doubling, which costs
+# O(log(L/off)) extra map-resolved pieces.
+PAT_PERIOD_MAX = 63
+
+
+def rows_b_for(cmax: int) -> int:
+    """Rows of the B buffer for a given compressed row width: one zero
+    pad row + payload rows + patterns + one trailing guard row, rounded
+    to the int32 sublane tile."""
+    r = 1 + (cmax + VEC - 1) // VEC + PAT_ROWS + 1
+    return (r + 7) & ~7
+
+
+def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
+              piece_cap: int | None = None):
+    """Resolve a parsed tag stream into dependency-free pieces.
+
+    recs: int32[T, 4] rows (kind, out_len, offset|lit_src, out_start)
+    from sn_parse_tags; comp: uint8[clen] payload (tag bytes included —
+    lit_src offsets index into it).
+
+    Returns (pieces int32[P, 3] of (b_src, dst, len), patterns uint8
+    [PAT_ROWS*128]) or None when the piece cap is exceeded (caller
+    falls back to the wave engine).
+    """
+    COMP_BASE = VEC  # B byte address of comp[0] (row 0 is the pad row)
+    pieces: list[tuple[int, int, int]] = []
+    pat = np.zeros(PAT_ROWS * VEC, dtype=np.uint8)
+    pat_used = 0
+    pat_base0 = COMP_BASE + len(comp)  # patterns live right after comp
+
+    # resolved map: contiguous output intervals, appended in order.
+    # starts[i] .. starts[i+1] maps by kind[i]:
+    #   _LIN: out[x] = B[info[i] + x - starts[i]]
+    #   _PER: out[x] = B[info[i] + ((x - anchor[i]) mod period[i])],
+    #         with B[info[i] .. +256) a periodic extension (pat256)
+    starts: list[int] = []
+    kinds: list[int] = []
+    infos: list[int] = []
+    periods: list[int] = []
+    anchors: list[int] = []
+    ends: list[int] = []
+
+    def b_at(addr: int) -> int:
+        """Read one byte of the virtual B buffer (host side)."""
+        if addr < COMP_BASE:
+            return 0
+        if addr < pat_base0:
+            return int(comp[addr - COMP_BASE])
+        return int(pat[addr - pat_base0])
+
+    def add_entry(out_s: int, out_e: int, kind: int, info: int,
+                  period: int = 1, anchor: int = 0) -> None:
+        starts.append(out_s)
+        kinds.append(kind)
+        infos.append(info)
+        periods.append(period)
+        anchors.append(anchor)
+        ends.append(out_e)
+
+    def emit_linear(b: int, dst: int, ln: int) -> None:
+        while ln > 0:
+            take = min(ln, VEC - (dst & (VEC - 1)))
+            pieces.append((b, dst, take))
+            b += take
+            dst += take
+            ln -= take
+
+    def emit_periodic(pat_b: int, p: int, anchor: int, dst: int, ln: int) -> None:
+        while ln > 0:
+            take = min(ln, VEC - (dst & (VEC - 1)))
+            b = pat_b + ((dst - anchor) % p)
+            pieces.append((b, dst, take))
+            dst += take
+            ln -= take
+
+    import bisect
+
+    def lookup(x: int) -> int:
+        return bisect.bisect_right(starts, x) - 1
+
+    def resolve_read(addr: int) -> int:
+        """Materialize output byte at position addr (host side)."""
+        i = lookup(addr)
+        if kinds[i] == _LIN:
+            return b_at(infos[i] + addr - starts[i])
+        return b_at(infos[i] + ((addr - anchors[i]) % periods[i]))
+
+    def copy_resolved(s0: int, ln: int, delta: int) -> None:
+        """Emit out[s0+delta : s0+delta+ln) = out[s0 : s0+ln) by
+        fragmenting the (already resolved) source range through the map.
+
+        Fragmentation heals itself: when the source range crosses many
+        map entries (granularity decay on copy-of-copy chains), the
+        bytes are materialized once into the mirror region of B and the
+        copy becomes a single linear piece whose new map entry is
+        coarse — later copies of this output see one entry, not many.
+        """
+        nonlocal pat_used
+        s1 = s0 + ln
+        i0 = lookup(s0)
+        i1 = lookup(s1 - 1)
+        frags = i1 - i0 + 1
+        if (frags > max(2, ln // 32)
+                and pat_used + ln <= PAT_ROWS * VEC):
+            mb = pat_base0 + pat_used
+            for j in range(ln):
+                pat[pat_used + j] = resolve_read(s0 + j)
+            pat_used += ln
+            emit_linear(mb, s0 + delta, ln)
+            add_entry(s0 + delta, s1 + delta, _LIN, mb)
+            return
+        x = s0
+        while x < s1:
+            i = lookup(x)
+            take = min(s1, ends[i]) - x
+            dd = x + delta
+            if kinds[i] == _LIN:
+                b = infos[i] + x - starts[i]
+                emit_linear(b, dd, take)
+                add_entry(dd, dd + take, _LIN, b)
+            else:
+                pb, p = infos[i], periods[i]
+                anc = anchors[i] + delta
+                emit_periodic(pb, p, anc, dd, take)
+                add_entry(dd, dd + take, _PER, pb, p, anc)
+            x += take
+
+    for t in range(n_tags):
+        kind, out_len, arg, out_start = (
+            int(recs[t, 0]), int(recs[t, 1]), int(recs[t, 2]), int(recs[t, 3])
+        )
+        if kind == 0:  # literal: comp bytes at arg
+            b = COMP_BASE + arg
+            emit_linear(b, out_start, out_len)
+            add_entry(out_start, out_start + out_len, _LIN, b)
+        else:
+            off = arg
+            d = out_start
+            L = out_len
+            s0 = d - off  # source start (range may overlap d when off < L)
+            if off >= L:
+                copy_resolved(s0, L, off)
+            else:
+                # overlapping copy: output periodic with period off
+                i0 = lookup(s0)
+                if i0 == lookup(d - 1) and kinds[i0] == _PER:
+                    # source wholly inside one periodic entry: reuse its
+                    # (finer) pattern; the copy shifts the anchor by off
+                    pb, p, anc = infos[i0], periods[i0], anchors[i0] + off
+                    emit_periodic(pb, p, anc, d, L)
+                    add_entry(d, d + L, _PER, pb, p, anc)
+                elif off <= PAT_PERIOD_MAX and pat_used + 2 * VEC <= PAT_ROWS * VEC:
+                    # materialize the pattern once, extended to 256 B so
+                    # pieces stay linear; chained copies whose source
+                    # stays inside this run reuse it via the branch above
+                    pb = pat_base0 + pat_used
+                    for j in range(off):
+                        pat[pat_used + j] = resolve_read(s0 + j)
+                    seg = pat[pat_used : pat_used + off]
+                    reps = (2 * VEC + off - 1) // off
+                    pat[pat_used : pat_used + 2 * VEC] = np.tile(seg, reps)[: 2 * VEC]
+                    pat_used += 2 * VEC
+                    emit_periodic(pb, off, s0, d, L)
+                    add_entry(d, d + L, _PER, pb, off, s0)
+                else:
+                    # pattern budget exhausted: offset-doubling, each
+                    # piece's source already resolved when emitted
+                    cur_off, d2, rem = off, d, L
+                    while rem > 0:
+                        ln = min(cur_off, rem)
+                        copy_resolved(d2 - cur_off, ln, cur_off)
+                        d2 += ln
+                        rem -= ln
+                        cur_off += ln
+        if piece_cap is not None and len(pieces) > piece_cap:
+            return None
+
+    return np.array(pieces, dtype=np.int32).reshape(-1, 3), pat
+
+
+# B-word valid bit: pad lanes have it clear, so their mask selects
+# nothing and they contribute zero regardless of destination.
+_VALID = 1 << 21
+
+
+def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
+    """Sort pieces by (dst bin, source row) and pack them into trips.
+
+    A trip holds NSUB subpanels of up to 128 pieces.  Each subpanel
+    reads one dynamically-placed W_ROWS-row window of B (all its
+    pieces' source row pairs fit a [S, S+W_ROWS-1] span) and composes
+    into one 128-row destination bin (drow>>7 equal across the
+    subpanel), which keeps the compose matmul and its one-hot small.
+
+    Returns (meta int32[2*NSUB*trip_cap, 128], starts int32[8, 128],
+    n_trips) or None if more than trip_cap trips are needed.  Layout:
+    trip t rows [2*NSUB*t .. +NSUB) hold the A words of subpanels 0..3
+    (qrel | rot<<7), rows [.. +2*NSUB) the B words (dphi | lenm1<<7 |
+    drel<<14 | _VALID); subpanel s's packed (S | dbin<<10) word lives
+    at starts[t>>5, (t&31)*4+s].
+    """
+    P = len(pieces)
+    meta = np.zeros((2 * NSUB * trip_cap, VEC), dtype=np.int32)
+    starts = np.zeros((8, VEC), dtype=np.int32)
+    if P == 0:
+        return meta, starts, 0
+    if trip_cap > 256:
+        raise ValueError("trip_cap exceeds the starts-plane capacity")
+
+    b = pieces[:, 0]
+    dst = pieces[:, 1]
+    ln = pieces[:, 2]
+    dphi = dst & (VEC - 1)
+    base = b - dphi          # may reach into the pad row (>= 0)
+    q = base >> 7
+    rot = (VEC - (base & (VEC - 1))) & (VEC - 1)
+    drow = dst >> 7
+    dbin = drow >> 7
+
+    order = np.lexsort((q, dbin))
+    q_s = q[order]
+    dbin_s = dbin[order]
+
+    n_sub = 0
+    i = 0
+    while i < P:
+        t, s = divmod(n_sub, NSUB)
+        if t >= trip_cap:
+            return None
+        S = int(q_s[i])
+        if S + W_ROWS > rb:
+            S = rb - W_ROWS
+        bn = int(dbin_s[i])
+        bin_end = int(np.searchsorted(dbin_s, bn, side="right"))
+        j = min(i + VEC, P, bin_end)
+        # shrink subpanel until every piece's row pair fits the window
+        while j > i and int(q_s[j - 1]) - S > W_ROWS - 2:
+            j -= 1
+        idx = order[i:j]
+        k = j - i
+        a_words = ((q[idx] - S) | (rot[idx] << 7)).astype(np.int32)
+        b_words = (
+            dphi[idx] | ((ln[idx] - 1) << 7) | ((drow[idx] & 127) << 14)
+            | _VALID
+        ).astype(np.int32)
+        meta[2 * NSUB * t + s, :k] = a_words
+        meta[2 * NSUB * t + NSUB + s, :k] = b_words
+        starts[t >> 5, (t & 31) * 4 + s] = S | (bn << 10)
+        n_sub += 1
+        i = j
+    return meta, starts, (n_sub + NSUB - 1) // NSUB
+
+
+def execute_flat_np(meta: np.ndarray, starts: np.ndarray, n_trips: int,
+                    b_bytes: np.ndarray, dst_len: int) -> np.ndarray:
+    """Numpy contract: replay a packed plan exactly as the kernel does
+    (trip-ordered, piece-ordered; disjoint writes)."""
+    out = np.zeros(OUT_ROWS * VEC, dtype=np.uint8)
+    for t in range(n_trips):
+        for s in range(NSUB):
+            w = int(starts[t >> 5, (t & 31) * 4 + s])
+            S = w & 1023
+            D = (w >> 10) << 7
+            for k in range(VEC):
+                a = int(meta[2 * NSUB * t + s, k])
+                bw = int(meta[2 * NSUB * t + NSUB + s, k])
+                if not (bw & _VALID):
+                    continue
+                qrel = a & 127
+                rot = (a >> 7) & 127
+                dphi = bw & 127
+                lnm1 = (bw >> 7) & 127
+                drel = (bw >> 14) & 127
+                phi = (VEC - rot) & (VEC - 1)
+                base = (S + qrel) * VEC + phi
+                for l in range(dphi, dphi + lnm1 + 1):
+                    out[(D + drel) * VEC + l] = b_bytes[base + l]
+    return out[:dst_len]
+
+
+def build_b_bytes(comp: np.ndarray, patterns: np.ndarray, rb: int) -> np.ndarray:
+    """Host-side B buffer: pad row + comp + patterns + guard."""
+    b = np.zeros(rb * VEC, dtype=np.uint8)
+    b[VEC : VEC + len(comp)] = comp
+    b[VEC + len(comp) : VEC + len(comp) + len(patterns)] = patterns
+    return b
+
+
+# ---------------------------------------------------------------------
+# pallas kernel
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _subpanel(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool):
+    """One 128-piece subpanel: returns (masked (128,128) f32 rows ready
+    to compose, drel (1,128) destination rows relative to the bin)."""
+    a_col = jnp.transpose(mrow_a, (1, 0))            # (128,1)
+    b_col = jnp.transpose(mrow_b, (1, 0))
+    qrel = a_col & 127
+    rot = jax.lax.shift_right_logical(a_col, 7) & 127
+    dphi = b_col & 127
+    lenm1 = jax.lax.shift_right_logical(b_col, 7) & 127
+    valid = (b_col & _VALID) != 0
+    drel = jax.lax.shift_right_logical(mrow_b, 14) & 127   # (1,128)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (VEC, W_ROWS), 1)
+    # one-hot row gather of every piece's source row pair (MXU)
+    rs0 = (lane_w == qrel).astype(jnp.bfloat16)
+    rs1 = (lane_w == qrel + 1).astype(jnp.bfloat16)
+    u0 = jax.lax.dot_general(rs0, bwin_bf, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    u1 = jax.lax.dot_general(rs1, bwin_bf, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    phi = (VEC - rot) & (VEC - 1)
+    if use_take:
+        # per-piece lane alignment as a single lane gather
+        idx = (phi + lane_p) & (VEC - 1)
+        t0 = jnp.take_along_axis(u0, idx, axis=1)
+        t1 = jnp.take_along_axis(u1, idx, axis=1)
+        v = jnp.where(phi + lane_p < VEC, t0, t1)
+    else:
+        # masked barrel shifter: all per-piece rotations in 7 static rolls
+        v = jnp.where(lane_p >= phi, u0, u1)
+        for k in range(7):
+            bit = (jax.lax.shift_right_logical(rot, k) & 1) == 1
+            v = jnp.where(bit, pltpu.roll(v, shift=1 << k, axis=1), v)
+    mask = valid & (lane_p >= dphi) & (lane_p - dphi <= lenm1)
+    return jnp.where(mask, v, 0.0), drel
+
+
+def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
+                 *, use_take: bool):
+    # Formulation constraints (measured, tools/mosaic_probe9/10): B is
+    # i32 in VMEM (8-sublane tile -> arbitrary dynamic window starts
+    # compile; bf16 refs with unaligned dyn starts do not), windows are
+    # cast to bf16 *after* the slice, and per-trip window starts are
+    # read from a VMEM row via dynamic roll + static lane extracts
+    # (dynamic-index SMEM scalar reads do not compile).
+    blk = pl.program_id(0)
+    n = ntrips_ref[blk]
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 0)
+    out_ref[0, :, :] = jnp.zeros((OUT_ROWS, VEC), jnp.float32)
+
+    def body(i, c):
+        srow = starts_ref[0, pl.ds(i >> 5, 1), :]
+        sr = pltpu.roll(srow, shift=(VEC - ((i & 31) * NSUB)) & (VEC - 1),
+                        axis=1)
+        mrow = meta_ref[0, pl.ds(2 * NSUB * i, 2 * NSUB), :]
+        for s in range(NSUB):
+            w = sr[0, s]
+            S = w & 1023
+            D = jax.lax.shift_right_logical(w, 10) * VEC  # dst bin row
+            bwin = b_ref[0, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
+            mk, drel = _subpanel(mrow[s:s + 1, :],
+                                 mrow[NSUB + s:NSUB + s + 1, :],
+                                 bwin, lane_p, use_take)
+            # one-hot compose matmul scatters the 128 masked piece rows
+            # into the subpanel's 128-row destination bin; disjoint
+            # destination bytes keep the f32 accumulation exact
+            ds_t = (row_iota == drel).astype(jnp.bfloat16)
+            contrib = jax.lax.dot_general(
+                ds_t, mk.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[0, pl.ds(D, VEC), :] += contrib
+        return c
+
+    jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+
+def decode_blocks_flat(b_u8, meta, starts, ntrips, dst_max: int,
+                       interpret: bool | None = None,
+                       use_take: bool = False):
+    """Execute packed flat plans on device.
+
+    b_u8: uint8[B, rb*128] host-built B buffers (build_b_bytes);
+    meta: int32[B, 2*NSUB*trip_cap, 128]; starts: int32[B, 8, 128];
+    ntrips: int32[B].  Returns uint8[B, dst_max].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flat_jit(b_u8, meta, starts, ntrips, dst_max=dst_max,
+                     interpret=interpret, use_take=use_take)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dst_max", "interpret", "use_take"))
+def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
+              use_take: bool):
+    B, nbytes = b_u8.shape
+    rb = nbytes // VEC
+    b_i32 = b_u8.astype(jnp.int32).reshape(B, rb, VEC)
+    nmr = meta.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rb, VEC), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, VEC), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nmr, VEC), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, OUT_ROWS, VEC), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out3 = pl.pallas_call(
+        functools.partial(_flat_kernel, use_take=use_take),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, OUT_ROWS, VEC), jnp.float32),
+        interpret=interpret,
+    )(ntrips, b_i32, starts, meta)
+    out = out3.astype(jnp.int32).astype(jnp.uint8).reshape(B, OUT_ROWS * VEC)
+    return out[:, :dst_max]
