@@ -193,6 +193,50 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             outs.append(out[:, :1].astype(jnp.int32))
         return int(np.asarray(combine(*outs)))
 
+    # flat-plan staging: host parse + plan (the production TPU path)
+    flat_args = []
+    if native.available():
+        from snappy_tpu.kernels.decode_flat import (
+            PAT_ROWS as _F_PATR,
+            TRIP_CAP as _F_TRIPS,
+            rows_b_for,
+        )
+
+        _f_rb = rows_b_for(CMAX)
+        tmp = np.empty((CMAX // 2 + 2, 4), np.int32)
+        _fpat = np.empty(_F_PATR * 128, np.uint8)
+        for comp_h, starts_h, clens_h in dec_args_host:
+            b_u8 = np.zeros((B, _f_rb * 128), np.uint8)
+            fmeta = np.empty((B, 8 * _F_TRIPS, 128), np.int32)
+            fst = np.empty((B, 8, 128), np.int32)
+            ntr = np.zeros(B, np.int32)
+            ok = True
+            for i in range(B):
+                payload = comp_h[i, : clens_h[i]]
+                nt = native.parse_tags(
+                    payload.tobytes(), int(starts_h[i]), BMAX, tmp
+                )
+                g = native.plan_flat(tmp, nt, payload, _f_rb, fmeta[i], fst[i], _fpat)
+                if g is None:
+                    ok = False
+                    break
+                ntr[i] = g
+                b_u8[i, 128 : 128 + len(payload)] = payload
+                b_u8[i, 128 + len(payload) : 128 + len(payload) + _F_PATR * 128] = _fpat
+            if not ok:
+                flat_args = []
+                break
+            flat_args.append(tuple(map(jax.device_put, (b_u8, fmeta, fst, ntr))))
+
+    def run_decode_flat():
+        from snappy_tpu.kernels.decode_flat import decode_blocks_flat
+
+        outs = []
+        for b_d, m_d, s_d, n_d in flat_args:
+            out = decode_blocks_flat(b_d, m_d, s_d, n_d, dst_max=BMAX)
+            outs.append(out[:, :1].astype(jnp.int32))
+        return int(np.asarray(combine(*outs)))
+
     def run_encode_pallas():
         from snappy_tpu.kernels.pallas_encode import encode_blocks_pallas
 
@@ -246,6 +290,7 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
     pallas_dec_times: list = []
     pallas_enc_times: list = []
     wave_dec_times: list = []
+    flat_dec_times: list = []
     if jax.default_backend() == "tpu" and os.environ.get(
         "SNAPPY_TPU_BENCH_PALLAS", "1"
     ) != "0":
@@ -274,6 +319,16 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         except Exception as e:  # pragma: no cover - keep the bench alive
             wave_dec_times = []
             print(f"[bench] wave phase failed: {e!r}"[:300])
+        try:
+            if flat_args:
+                run_decode_flat()  # warmup
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    run_decode_flat()
+                    flat_dec_times.append(time.perf_counter() - t0)
+        except Exception as e:  # pragma: no cover - keep the bench alive
+            flat_dec_times = []
+            print(f"[bench] flat phase failed: {e!r}"[:300])
 
     out = {
         "device_decompress_gbs": round(total / 1e9 / min(dec_times), 4),
@@ -302,6 +357,13 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         )
         out["device_decompress_gbs"] = max(
             out["device_decompress_gbs"], out["device_decompress_wave_gbs"]
+        )
+    if flat_dec_times:
+        out["device_decompress_flat_gbs"] = round(
+            total / 1e9 / min(flat_dec_times), 4
+        )
+        out["device_decompress_gbs"] = max(
+            out["device_decompress_gbs"], out["device_decompress_flat_gbs"]
         )
     if pallas_enc_times:
         out["device_compress_pallas_gbs"] = round(

@@ -111,6 +111,11 @@ def _load():
         lib.sn_plan_waves.argtypes = [
             i32p, ctypes.c_uint64, i32p, ctypes.c_uint64,
         ]
+        lib.sn_plan_flat.restype = ctypes.c_int64
+        lib.sn_plan_flat.argtypes = [
+            i32p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
+        ]
         lib.sn_compress_framed.restype = ctypes.c_int64
         lib.sn_compress_framed.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int,
@@ -194,6 +199,39 @@ def plan_waves(rec: np.ndarray, n_tags: int, words: np.ndarray) -> int | None:
     rc = lib.sn_plan_waves(
         rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_tags,
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), words.shape[0],
+    )
+    if rc == -5:
+        return None
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc)
+
+
+def plan_flat(
+    rec: np.ndarray,
+    n_tags: int,
+    comp: np.ndarray,
+    rb: int,
+    meta: np.ndarray,
+    starts: np.ndarray,
+    pat: np.ndarray,
+    piece_cap: int = -1,
+) -> int | None:
+    """C++ flat-plan planner + packer (see sn_plan_flat).  rec:
+    int32[(T,4)] from parse_tags; comp: uint8[clen]; meta:
+    int32[(2*4*trip_cap, 128)], starts: int32[(8, 128)], pat:
+    uint8[256*128] outputs, overwritten.  Returns the trip count, or
+    None when piece_cap/trip_cap is exceeded (caller picks another
+    engine).  Mirrors kernels.decode_flat.plan_flat + pack_trips
+    decision-for-decision."""
+    lib = _load()
+    trip_cap = meta.shape[0] // 8
+    rc = lib.sn_plan_flat(
+        rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_tags,
+        _as_u8p(comp), comp.shape[0], rb, trip_cap, piece_cap,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _as_u8p(pat),
     )
     if rc == -5:
         return None

@@ -10,6 +10,7 @@
 //
 // Error codes mirror snappy_tpu.errors (0 ok; negative = error class).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -638,6 +639,291 @@ int64_t sn_plan_waves(const int32_t* rec, uint64_t n_tags, int32_t* words,
   }
   if (cur) g++;
   return (int64_t)g;
+}
+
+// ---------------------------------------------------------------------
+// Flat-plan planner + packer for the TPU flat decoder
+// (kernels/decode_flat.py): resolves a parsed tag stream into
+// dependency-free pieces and packs them into device trips.  Mirrors
+// plan_flat + pack_trips decision-for-decision; the Python planner is
+// the readable contract (tests enforce bit-identical meta/starts/pat),
+// this is the production-speed path.
+//   rec:    int32[n_tags * 4]  (kind, out_len, offset|lit_src, out_start)
+//   comp:   the compressed element bytes (lit_src indexes into it)
+//   rb:     rows of the device B buffer (kernels.decode_flat.rows_b_for)
+//   meta:   int32[2*4*trip_cap * 128]   out, zeroed here
+//   starts: int32[8 * 128]              out, zeroed here
+//   pat:    uint8[256 * 128]            out, zeroed here
+// Returns the trip count, or SN_ERR_BUFFER when piece_cap/trip_cap is
+// exceeded (caller falls back to the wave engine).
+
+namespace flatplan {
+static const int kVec = 128;
+static const int kNsub = 4;
+static const int kWRows = 128;
+static const int kPatRows = 256;
+static const int kPatPeriodMax = 63;
+static const int32_t kValid = 1 << 21;
+
+struct Piece {
+  int32_t b, dst, len;
+};
+
+struct Planner {
+  const uint8_t* comp;
+  int64_t comp_len;
+  int64_t pat_base0;   // B address of pat[0]
+  uint8_t* pat;        // kPatRows * kVec bytes
+  int64_t pat_used = 0;
+  std::vector<Piece> pieces;
+  // resolved map (parallel arrays, starts ascending)
+  std::vector<int64_t> starts, infos, ends;
+  std::vector<int32_t> kinds, periods;
+  std::vector<int64_t> anchors;
+  // O(1) lookup: btop[b] = index of the last entry starting in bucket
+  // <= b (64-byte buckets over the 64 KiB output); cur_b = last bucket
+  // any entry starts in.  Entry starts are strictly increasing, so the
+  // table fills left to right as entries append.
+  int32_t btop[1088];
+  int64_t cur_b = -1;
+
+  uint8_t b_at(int64_t addr) const {
+    if (addr < kVec) return 0;
+    if (addr < pat_base0) return comp[addr - kVec];
+    return pat[addr - pat_base0];
+  }
+  size_t lookup(int64_t x) const {
+    int64_t b = x >> 6;
+    size_t i = (b >= cur_b) ? starts.size() - 1 : (size_t)btop[b];
+    while (starts[i] > x) i--;
+    return i;
+  }
+  uint8_t resolve_read(int64_t addr) const {
+    size_t i = lookup(addr);
+    if (kinds[i] == 0) return b_at(infos[i] + addr - starts[i]);
+    return b_at(infos[i] + ((addr - anchors[i]) % periods[i]));
+  }
+  void add_entry(int64_t s, int64_t e, int32_t kind, int64_t info,
+                 int32_t period = 1, int64_t anchor = 0) {
+    int64_t bs = s >> 6;
+    int32_t idx = (int32_t)starts.size();
+    for (int64_t b = cur_b + 1; b <= bs; b++) btop[b] = idx - 1;
+    if (bs > cur_b) cur_b = bs;
+    btop[bs] = idx;
+    starts.push_back(s);
+    kinds.push_back(kind);
+    infos.push_back(info);
+    periods.push_back(period);
+    anchors.push_back(anchor);
+    ends.push_back(e);
+  }
+  // Bulk resolve_read of [s0, s0+ln) into dst: walks map fragments once
+  // and reads each fragment's source directly (byte-identical to ln
+  // resolve_read calls; the per-byte binary search was the planner's
+  // measured hot spot).
+  void materialize(int64_t s0, int64_t ln, uint8_t* dst) const {
+    int64_t x = s0, s1 = s0 + ln;
+    while (x < s1) {
+      size_t i = lookup(x);
+      int64_t take = (s1 < ends[i] ? s1 : ends[i]) - x;
+      if (kinds[i] == 0) {
+        int64_t a = infos[i] + x - starts[i];
+        for (int64_t j = 0; j < take; j++) dst[j] = b_at(a + j);
+      } else {
+        int64_t p = periods[i];
+        int64_t ph = (x - anchors[i]) % p;
+        for (int64_t j = 0; j < take; j++)
+          dst[j] = b_at(infos[i] + ((ph + j) % p));
+      }
+      dst += take;
+      x += take;
+    }
+  }
+  void emit_linear(int64_t b, int64_t dst, int64_t ln) {
+    while (ln > 0) {
+      int64_t take = kVec - (dst & (kVec - 1));
+      if (take > ln) take = ln;
+      pieces.push_back({(int32_t)b, (int32_t)dst, (int32_t)take});
+      b += take;
+      dst += take;
+      ln -= take;
+    }
+  }
+  void emit_periodic(int64_t pat_b, int64_t p, int64_t anchor, int64_t dst,
+                     int64_t ln) {
+    while (ln > 0) {
+      int64_t take = kVec - (dst & (kVec - 1));
+      if (take > ln) take = ln;
+      int64_t b = pat_b + ((dst - anchor) % p);
+      pieces.push_back({(int32_t)b, (int32_t)dst, (int32_t)take});
+      dst += take;
+      ln -= take;
+    }
+  }
+  void copy_resolved(int64_t s0, int64_t ln, int64_t delta) {
+    int64_t s1 = s0 + ln;
+    size_t i0 = lookup(s0), i1 = lookup(s1 - 1);
+    int64_t frags = (int64_t)(i1 - i0) + 1;
+    int64_t heal_at = ln / 32 > 2 ? ln / 32 : 2;
+    if (frags > heal_at && pat_used + ln <= (int64_t)kPatRows * kVec) {
+      int64_t mb = pat_base0 + pat_used;
+      materialize(s0, ln, pat + pat_used);
+      pat_used += ln;
+      emit_linear(mb, s0 + delta, ln);
+      add_entry(s0 + delta, s1 + delta, 0, mb);
+      return;
+    }
+    int64_t x = s0;
+    while (x < s1) {
+      size_t i = lookup(x);
+      int64_t take = (s1 < ends[i] ? s1 : ends[i]) - x;
+      int64_t dd = x + delta;
+      if (kinds[i] == 0) {
+        int64_t b = infos[i] + x - starts[i];
+        emit_linear(b, dd, take);
+        add_entry(dd, dd + take, 0, b);
+      } else {
+        emit_periodic(infos[i], periods[i], anchors[i] + delta, dd, take);
+        add_entry(dd, dd + take, 1, infos[i], periods[i], anchors[i] + delta);
+      }
+      x += take;
+    }
+  }
+};
+}  // namespace flatplan
+
+int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
+                     uint64_t comp_len, int64_t rb, int64_t trip_cap,
+                     int64_t piece_cap, int32_t* meta, int32_t* starts_out,
+                     uint8_t* pat_out) {
+  using namespace flatplan;
+  if (trip_cap > 256) return SN_ERR_BUFFER;
+  // meta rows are zeroed as they are packed (only rows < 2*4*ntrips are
+  // ever read by the kernel or the np contract)
+  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
+  memset(pat_out, 0, (size_t)kPatRows * kVec);
+
+  // reused across calls (vector allocation churn profiled at ~16% of
+  // plan time); thread_local so batched multi-thread planning is safe
+  static thread_local Planner P;
+  P.comp = comp;
+  P.comp_len = (int64_t)comp_len;
+  P.pat_base0 = kVec + (int64_t)comp_len;
+  P.pat = pat_out;
+  P.pat_used = 0;
+  P.cur_b = -1;
+  P.pieces.clear();
+  P.starts.clear();
+  P.infos.clear();
+  P.ends.clear();
+  P.kinds.clear();
+  P.periods.clear();
+  P.anchors.clear();
+
+  for (uint64_t t = 0; t < n_tags; t++) {
+    int32_t kind = rec[4 * t + 0];
+    int64_t out_len = rec[4 * t + 1];
+    int64_t arg = rec[4 * t + 2];
+    int64_t out_start = rec[4 * t + 3];
+    if (kind == 0) {
+      int64_t b = kVec + arg;
+      P.emit_linear(b, out_start, out_len);
+      P.add_entry(out_start, out_start + out_len, 0, b);
+    } else {
+      int64_t off = arg, d = out_start, L = out_len, s0 = d - off;
+      if (off >= L) {
+        P.copy_resolved(s0, L, off);
+      } else {
+        size_t i0 = P.lookup(s0);
+        if (i0 == P.lookup(d - 1) && P.kinds[i0] == 1) {
+          int64_t pb = P.infos[i0];
+          int32_t p = P.periods[i0];
+          int64_t anc = P.anchors[i0] + off;
+          P.emit_periodic(pb, p, anc, d, L);
+          P.add_entry(d, d + L, 1, pb, p, anc);
+        } else if (off <= kPatPeriodMax &&
+                   P.pat_used + 2 * kVec <= (int64_t)kPatRows * kVec) {
+          int64_t pb = P.pat_base0 + P.pat_used;
+          P.materialize(s0, off, P.pat + P.pat_used);
+          for (int64_t j = off; j < 2 * kVec; j++)
+            P.pat[P.pat_used + j] = P.pat[P.pat_used + j - off];
+          P.pat_used += 2 * kVec;
+          P.emit_periodic(pb, off, s0, d, L);
+          P.add_entry(d, d + L, 1, pb, (int32_t)off, s0);
+        } else {
+          int64_t cur_off = off, d2 = d, rem = L;
+          while (rem > 0) {
+            int64_t ln = cur_off < rem ? cur_off : rem;
+            P.copy_resolved(d2 - cur_off, ln, cur_off);
+            d2 += ln;
+            rem -= ln;
+            cur_off += ln;
+          }
+        }
+      }
+    }
+    if (piece_cap >= 0 && (int64_t)P.pieces.size() > piece_cap)
+      return SN_ERR_BUFFER;
+  }
+
+  // ---- pack_trips: stable sort by (dst bin, source row), greedy pack
+  const int64_t Pn = (int64_t)P.pieces.size();
+  if (Pn == 0) return 0;
+  static thread_local std::vector<int32_t> order, q, rot, dphi, drow, dbin;
+  order.resize(Pn);
+  q.resize(Pn);
+  rot.resize(Pn);
+  dphi.resize(Pn);
+  drow.resize(Pn);
+  dbin.resize(Pn);
+  // counting sort on key = dbin*2048 + q (q < rb <= 2048, dbin <= 4):
+  // stable and O(P), replacing a comparison sort that profiled at ~35%
+  // of plan time
+  int32_t hist[5 * 2048 + 1];
+  memset(hist, 0, sizeof(hist));
+  for (int64_t i = 0; i < Pn; i++) {
+    const Piece& pc = P.pieces[i];
+    int32_t dp = pc.dst & (kVec - 1);
+    int32_t base = pc.b - dp;
+    dphi[i] = dp;
+    q[i] = base >> 7;
+    rot[i] = (kVec - (base & (kVec - 1))) & (kVec - 1);
+    drow[i] = pc.dst >> 7;
+    dbin[i] = drow[i] >> 7;
+    hist[dbin[i] * 2048 + q[i] + 1]++;
+  }
+  for (int k = 1; k <= 5 * 2048; k++) hist[k] += hist[k - 1];
+  for (int64_t i = 0; i < Pn; i++)
+    order[hist[dbin[i] * 2048 + q[i]]++] = (int32_t)i;
+
+  int64_t n_sub = 0, i = 0;
+  while (i < Pn) {
+    int64_t t = n_sub / kNsub, s = n_sub % kNsub;
+    if (t >= trip_cap) return SN_ERR_BUFFER;
+    if (s == 0)  // zero the whole trip's meta rows as it opens
+      memset(meta + 2 * kNsub * t * kVec, 0,
+             (size_t)2 * kNsub * kVec * sizeof(int32_t));
+    int32_t S = q[order[i]];
+    if (S + kWRows > rb) S = (int32_t)(rb - kWRows);
+    int32_t bn = dbin[order[i]];
+    int64_t bin_end = i;
+    while (bin_end < Pn && dbin[order[bin_end]] == bn) bin_end++;
+    int64_t j = i + kVec < Pn ? i + kVec : Pn;
+    if (j > bin_end) j = bin_end;
+    while (j > i && q[order[j - 1]] - S > kWRows - 2) j--;
+    for (int64_t k = i; k < j; k++) {
+      int32_t idx = order[k];
+      meta[(2 * kNsub * t + s) * kVec + (k - i)] =
+          (q[idx] - S) | (rot[idx] << 7);
+      meta[(2 * kNsub * t + kNsub + s) * kVec + (k - i)] =
+          dphi[idx] | ((P.pieces[idx].len - 1) << 7) | ((drow[idx] & 127) << 14) |
+          kValid;
+    }
+    starts_out[(t >> 5) * kVec + (t & 31) * 4 + s] = S | (bn << 10);
+    n_sub++;
+    i = j;
+  }
+  return (n_sub + kNsub - 1) / kNsub;
 }
 
 }  // extern "C"

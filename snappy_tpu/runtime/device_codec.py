@@ -144,6 +144,12 @@ def _decode_pallas_and_crc(arr, starts, clens, dlens, want_crc, out_max: int):
 # the remote Mosaic service); plans that exceed it fall back per chunk.
 WAVE_G_CAP = 8192
 
+# Flat-plan engine (kernels/decode_flat): host resolves every output
+# byte to a dependency-free source, device executes MXU one-hot
+# gather/compose trips — the fastest measured on-TPU decode engine
+# (docs/performance.md).  Off → wave engine.
+FLAT = os.environ.get("SNAPPY_TPU_FLAT", "1") != "0"
+
 
 @functools.partial(jax.jit, static_argnames=("out_max",))
 def _decode_wave_and_crc(arr, words, ngroups, dlens, want_crc, out_max: int):
@@ -151,6 +157,18 @@ def _decode_wave_and_crc(arr, words, ngroups, dlens, want_crc, out_max: int):
     from snappy_tpu.kernels.decode_wavegroup import decode_blocks_wavegroup
 
     out = decode_blocks_wavegroup(arr, words, ngroups, out_max=out_max)
+    crc = crc32c_chunks(out, dlens)
+    err = jnp.where(crc != want_crc, jnp.int32(100), jnp.int32(0))
+    return out, err
+
+
+@functools.partial(jax.jit, static_argnames=("out_max",))
+def _decode_flat_and_crc(b_u8, meta, fstarts, ntrips, dlens, want_crc,
+                         out_max: int):
+    """Flat-plan decode (validated host plans) + device CRC."""
+    from snappy_tpu.kernels.decode_flat import decode_blocks_flat
+
+    out = decode_blocks_flat(b_u8, meta, fstarts, ntrips, dst_max=out_max)
     crc = crc32c_chunks(out, dlens)
     err = jnp.where(crc != want_crc, jnp.int32(100), jnp.int32(0))
     return out, err
@@ -450,7 +468,62 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 dlens[row] = dst_len
                 want[row] = unmask_crc(crc)
             wave_failed = False
-            if use_wave:
+            if use_wave and FLAT:
+                from snappy_tpu.kernels.decode_flat import (
+                    PAT_ROWS as _F_PATR,
+                    TRIP_CAP as _F_TRIPS,
+                    rows_b_for,
+                )
+
+                rb = rows_b_for(cmax)
+                tmp = np.empty((_T_CAP, 4), dtype=np.int32)
+                b_u8 = np.zeros((BATCH, rb * 128), dtype=np.uint8)
+                fmeta = np.empty((BATCH, 8 * _F_TRIPS, 128), dtype=np.int32)
+                fstarts = np.empty((BATCH, 8, 128), dtype=np.int32)
+                fpat = np.empty(_F_PATR * 128, dtype=np.uint8)
+                ntr = np.zeros(BATCH, dtype=np.int32)
+                host_rows = set()
+                dlens_w = dlens.copy()
+                want_w = want.copy()
+                for row, i in enumerate(grp):
+                    _, p_off, p_len, crc, dst_len, hdr = chunks[i]
+                    payload = src_arr[p_off : p_off + p_len]
+                    nt = _native.parse_tags(payload.tobytes(), hdr, dst_len, tmp)
+                    g = _native.plan_flat(
+                        tmp, nt, payload, rb, fmeta[row], fstarts[row], fpat
+                    )
+                    if g is None:
+                        # pathological plan density: this chunk decodes
+                        # on host; neutralize its device row
+                        blob = _host_decompress_raw(
+                            bytes(src_arr[p_off : p_off + p_len])
+                        )
+                        if len(blob) != dst_len:
+                            raise CorruptError(
+                                "chunk preamble disagrees with decoded size"
+                            )
+                        out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(
+                            blob, dtype=np.uint8
+                        )
+                        host_rows.add(row)
+                        fallback_verify.add(i)
+                        ntr[row] = 0
+                        fmeta[row, :8] = 0
+                        dlens_w[row] = 0
+                        want_w[row] = 0
+                        continue
+                    ntr[row] = g
+                    b_u8[row, 128 : 128 + p_len] = payload
+                    b_u8[row, 128 + p_len : 128 + p_len + _F_PATR * 128] = fpat
+                handles.append((
+                    "flat",
+                    _decode_flat_and_crc(
+                        b_u8, fmeta, fstarts, ntr, dlens_w, want_w,
+                        out_max=MAX_CHUNK_UNCOMPRESSED,
+                    ),
+                    host_rows,
+                ))
+            elif use_wave:
                 from snappy_tpu.kernels.decode_wavegroup import pack_plan
 
                 tmp = np.empty((_T_CAP, 4), dtype=np.int32)

@@ -151,6 +151,62 @@ def test_pack_cap_returns_none(rng):
     assert pack_trips(pieces, 1, rb) is None
 
 
+def _native_plan(cb, rb):
+    meta = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
+    starts = np.empty((8, VEC), np.int32)
+    pat = np.empty(DF.PAT_ROWS * VEC, np.uint8)
+    nt = native.parse_tags(cb.tobytes(), read_uvarint(cb.tobytes(), 0)[1],
+                           read_uvarint(cb.tobytes(), 0)[0], _TMP)
+    ntr = native.plan_flat(_TMP, nt, cb, rb, meta, starts, pat)
+    return ntr, meta, starts, pat
+
+
+def test_native_planner_bitwise_parity(rng):
+    """sn_plan_flat mirrors plan_flat + pack_trips decision-for-decision:
+    meta, starts, trip count, and the pattern buffer are bit-identical."""
+    for i, data in enumerate(_samples(rng)):
+        cb, dlen, pieces, pat_py = _plan(data)
+        rb = rows_b_for(len(cb))
+        meta_py, starts_py, ntr_py = pack_trips(pieces, TRIP_CAP, rb)
+        ntr, meta, starts, pat = _native_plan(cb, rb)
+        assert ntr == ntr_py, f"case {i}"
+        # meta rows beyond the packed trips are unspecified (the kernel
+        # never reads them); compare the used region
+        assert (meta[: 8 * ntr] == meta_py[: 8 * ntr]).all(), f"case {i}"
+        assert (starts == starts_py).all(), f"case {i}"
+        pad = np.zeros(DF.PAT_ROWS * VEC, np.uint8)
+        pad[: len(pat_py)] = pat_py
+        assert (pat == pad).all(), f"case {i}"
+
+
+def test_native_planner_corpus_parity(rng):
+    from snappy_tpu.bench.corpus import make_corpus
+
+    for name, data in make_corpus(256 * 1024, seed=11):
+        blk = data[:65536]
+        cb, dlen, pieces, pat_py = _plan(blk)
+        rb = rows_b_for(len(cb))
+        meta_py, starts_py, ntr_py = pack_trips(pieces, TRIP_CAP, rb)
+        ntr, meta, starts, pat = _native_plan(cb, rb)
+        assert ntr == ntr_py and (meta[: 8 * ntr] == meta_py[: 8 * ntr]).all(), name
+        out = execute_flat_np(meta, starts, ntr,
+                              build_b_bytes(cb, pat, rb), dlen)
+        assert out.tobytes() == blk, name
+
+
+def test_native_planner_piece_cap(rng):
+    data = rng.randbytes(65536)
+    c = reference.compress(data)
+    cb = np.frombuffer(c, np.uint8)
+    rb = rows_b_for(len(cb))
+    meta = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
+    starts = np.empty((8, VEC), np.int32)
+    pat = np.empty(DF.PAT_ROWS * VEC, np.uint8)
+    nt = native.parse_tags(c, read_uvarint(c, 0)[1], 65536, _TMP)
+    assert native.plan_flat(_TMP, nt, cb, rb, meta, starts, pat,
+                            piece_cap=3) is None
+
+
 def test_empty_plan_executes():
     pieces = np.zeros((0, 3), np.int32)
     meta, starts, ntr = pack_trips(pieces, TRIP_CAP, rows_b_for(VEC))
