@@ -237,6 +237,57 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             outs.append(out[:, :1].astype(jnp.int32))
         return int(np.asarray(combine(*outs)))
 
+    # flat-encode staging: host matcher + emission plan (the production
+    # TPU encode path; emission == the host encoder's, byte-for-byte)
+    flat_enc_args = []
+    if native.available():
+        from snappy_tpu.kernels.encode_flat import (
+            ENC_TRIP_CAP as _FE_TRIPS,
+            RB_ENC as _FE_RB,
+            SRC_SPAN as _FE_SPAN,
+            TAG_ROWS as _FE_TAGR,
+        )
+        from snappy_tpu.spec.format import read_uvarint as _ruv
+
+        tmp = np.empty((CMAX // 2 + 2, 4), np.int32)
+        _tagbuf = np.empty(_FE_TAGR * 128, np.uint8)
+        for k in range(n_batches):
+            b_u8 = np.zeros((B, _FE_RB * 128), np.uint8)
+            fmeta = np.empty((B, 8 * _FE_TRIPS, 128), np.int32)
+            fst = np.zeros((B, 8, 128), np.int32)
+            ntr = np.zeros(B, np.int32)
+            ok = True
+            for i in range(B):
+                block = data[(k * B + i) * BMAX : (k * B + i + 1) * BMAX]
+                c = native.compress(block)
+                _, hdr = _ruv(c, 0)
+                cb = np.frombuffer(c, np.uint8)
+                nt = native.parse_tags(c, hdr, len(block), tmp)
+                r = native.plan_flat_enc(tmp, nt, cb, _FE_RB, fmeta[i],
+                                         fst[i], _tagbuf)
+                if r is None:
+                    ok = False
+                    break
+                ntr[i], tag_used = r
+                b_u8[i, 128 : 128 + len(block)] = np.frombuffer(block, np.uint8)
+                tb = 128 + _FE_SPAN
+                b_u8[i, tb : tb + tag_used] = _tagbuf[:tag_used]
+            if not ok:
+                flat_enc_args = []
+                break
+            flat_enc_args.append(
+                tuple(map(jax.device_put, (b_u8, fmeta, fst, ntr)))
+            )
+
+    def run_encode_flat():
+        from snappy_tpu.kernels.encode_flat import encode_blocks_flat
+
+        outs = []
+        for b_d, m_d, s_d, n_d in flat_enc_args:
+            out = encode_blocks_flat(b_d, m_d, s_d, n_d)
+            outs.append(out[:, :1].astype(jnp.int32))
+        return int(np.asarray(combine(*outs)))
+
     def run_encode_pallas():
         from snappy_tpu.kernels.pallas_encode import encode_blocks_pallas
 
@@ -291,6 +342,7 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
     pallas_enc_times: list = []
     wave_dec_times: list = []
     flat_dec_times: list = []
+    flat_enc_times: list = []
     if jax.default_backend() == "tpu" and os.environ.get(
         "SNAPPY_TPU_BENCH_PALLAS", "1"
     ) != "0":
@@ -329,6 +381,16 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         except Exception as e:  # pragma: no cover - keep the bench alive
             flat_dec_times = []
             print(f"[bench] flat phase failed: {e!r}"[:300])
+        try:
+            if flat_enc_args:
+                run_encode_flat()  # warmup
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    run_encode_flat()
+                    flat_enc_times.append(time.perf_counter() - t0)
+        except Exception as e:  # pragma: no cover - keep the bench alive
+            flat_enc_times = []
+            print(f"[bench] flat-enc phase failed: {e!r}"[:300])
 
     out = {
         "device_decompress_gbs": round(total / 1e9 / min(dec_times), 4),
@@ -371,6 +433,13 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         )
         out["device_compress_gbs"] = max(
             out["device_compress_gbs"], out["device_compress_pallas_gbs"]
+        )
+    if flat_enc_times:
+        out["device_compress_flat_gbs"] = round(
+            total / 1e9 / min(flat_enc_times), 4
+        )
+        out["device_compress_gbs"] = max(
+            out["device_compress_gbs"], out["device_compress_flat_gbs"]
         )
     return out
 

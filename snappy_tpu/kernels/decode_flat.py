@@ -330,10 +330,11 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
 
 
 def execute_flat_np(meta: np.ndarray, starts: np.ndarray, n_trips: int,
-                    b_bytes: np.ndarray, dst_len: int) -> np.ndarray:
+                    b_bytes: np.ndarray, dst_len: int,
+                    out_rows: int = OUT_ROWS) -> np.ndarray:
     """Numpy contract: replay a packed plan exactly as the kernel does
     (trip-ordered, piece-ordered; disjoint writes)."""
-    out = np.zeros(OUT_ROWS * VEC, dtype=np.uint8)
+    out = np.zeros(out_rows * VEC, dtype=np.uint8)
     for t in range(n_trips):
         for s in range(NSUB):
             w = int(starts[t >> 5, (t & 31) * 4 + s])
@@ -375,9 +376,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _subpanel(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool):
-    """One 128-piece subpanel: returns (masked (128,128) f32 rows ready
-    to compose, drel (1,128) destination rows relative to the bin)."""
+def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool):
+    """One 128-piece subpanel's one-hot row-pair gather + pre-shift
+    merge.  Returns (v (128,128) f32 unrotated [or rotated when
+    use_take], rot col, mask, drel (1,128))."""
     a_col = jnp.transpose(mrow_a, (1, 0))            # (128,1)
     b_col = jnp.transpose(mrow_b, (1, 0))
     qrel = a_col & 127
@@ -396,56 +398,72 @@ def _subpanel(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool):
                              preferred_element_type=jnp.float32)
     phi = (VEC - rot) & (VEC - 1)
     if use_take:
-        # per-piece lane alignment as a single lane gather
+        # per-piece lane alignment as a single lane gather (measured
+        # ~129 us per (128,128) call — scalar lowering; kept only as a
+        # reference formulation, never the default)
         idx = (phi + lane_p) & (VEC - 1)
         t0 = jnp.take_along_axis(u0, idx, axis=1)
         t1 = jnp.take_along_axis(u1, idx, axis=1)
         v = jnp.where(phi + lane_p < VEC, t0, t1)
     else:
-        # masked barrel shifter: all per-piece rotations in 7 static rolls
         v = jnp.where(lane_p >= phi, u0, u1)
-        for k in range(7):
-            bit = (jax.lax.shift_right_logical(rot, k) & 1) == 1
-            v = jnp.where(bit, pltpu.roll(v, shift=1 << k, axis=1), v)
     mask = valid & (lane_p >= dphi) & (lane_p - dphi <= lenm1)
-    return jnp.where(mask, v, 0.0), drel
+    return v, rot, mask, drel
 
 
 def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
-                 *, use_take: bool):
-    # Formulation constraints (measured, tools/mosaic_probe9/10): B is
-    # i32 in VMEM (8-sublane tile -> arbitrary dynamic window starts
-    # compile; bf16 refs with unaligned dyn starts do not), windows are
-    # cast to bf16 *after* the slice, and per-trip window starts are
-    # read from a VMEM row via dynamic roll + static lane extracts
-    # (dynamic-index SMEM scalar reads do not compile).
+                 *, use_take: bool, out_rows: int):
+    # Formulation constraints (measured, tools/mosaic_probe9/10/12/13):
+    # B is i32 in VMEM (8-sublane tile -> arbitrary dynamic window
+    # starts compile; bf16 refs with unaligned dyn starts do not),
+    # windows are cast to bf16 *after* the slice, per-trip window
+    # starts are read from a VMEM row via dynamic roll + static lane
+    # extracts (dynamic-index SMEM scalar reads do not compile), rolls
+    # stay f32 (bf16 pltpu.roll is rejected), and the compose stays
+    # per-subpanel (the (128,512) one-hot compose is rejected in situ).
+    # The 7-step barrel shifters of the 4 subpanels are round-robined
+    # so their serial roll chains overlap (probe13: 1.8x per trip).
     blk = pl.program_id(0)
     n = ntrips_ref[blk]
     lane_p = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 0)
-    out_ref[0, :, :] = jnp.zeros((OUT_ROWS, VEC), jnp.float32)
+    out_ref[0, :, :] = jnp.zeros((out_rows, VEC), jnp.float32)
 
     def body(i, c):
         srow = starts_ref[0, pl.ds(i >> 5, 1), :]
         sr = pltpu.roll(srow, shift=(VEC - ((i & 31) * NSUB)) & (VEC - 1),
                         axis=1)
         mrow = meta_ref[0, pl.ds(2 * NSUB * i, 2 * NSUB), :]
+        vs, rots, masks, drels, Ds = [], [], [], [], []
         for s in range(NSUB):
             w = sr[0, s]
             S = w & 1023
-            D = jax.lax.shift_right_logical(w, 10) * VEC  # dst bin row
+            Ds.append(jax.lax.shift_right_logical(w, 10) * VEC)
             bwin = b_ref[0, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
-            mk, drel = _subpanel(mrow[s:s + 1, :],
-                                 mrow[NSUB + s:NSUB + s + 1, :],
-                                 bwin, lane_p, use_take)
+            v, rot, mask, drel = _subpanel_gather(
+                mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
+                bwin, lane_p, use_take)
+            vs.append(v)
+            rots.append(rot)
+            masks.append(mask)
+            drels.append(drel)
+        if not use_take:
+            # interleaved barrel shifters: independent chains overlap
+            for k in range(7):
+                for s in range(NSUB):
+                    bit = (jax.lax.shift_right_logical(rots[s], k) & 1) == 1
+                    vs[s] = jnp.where(
+                        bit, pltpu.roll(vs[s], shift=1 << k, axis=1), vs[s])
+        for s in range(NSUB):
+            mk = jnp.where(masks[s], vs[s], 0.0)
             # one-hot compose matmul scatters the 128 masked piece rows
             # into the subpanel's 128-row destination bin; disjoint
             # destination bytes keep the f32 accumulation exact
-            ds_t = (row_iota == drel).astype(jnp.bfloat16)
+            ds_t = (row_iota == drels[s]).astype(jnp.bfloat16)
             contrib = jax.lax.dot_general(
                 ds_t, mk.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            out_ref[0, pl.ds(D, VEC), :] += contrib
+            out_ref[0, pl.ds(Ds[s], VEC), :] += contrib
         return c
 
     jax.lax.fori_loop(0, n, body, jnp.int32(0))
@@ -453,23 +471,28 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
 
 def decode_blocks_flat(b_u8, meta, starts, ntrips, dst_max: int,
                        interpret: bool | None = None,
-                       use_take: bool = False):
+                       use_take: bool = False,
+                       out_rows: int = OUT_ROWS):
     """Execute packed flat plans on device.
 
     b_u8: uint8[B, rb*128] host-built B buffers (build_b_bytes);
     meta: int32[B, 2*NSUB*trip_cap, 128]; starts: int32[B, 8, 128];
-    ntrips: int32[B].  Returns uint8[B, dst_max].
+    ntrips: int32[B].  Returns uint8[B, dst_max].  out_rows sizes the
+    device output panel (decode: OUT_ROWS; the flat-encode emission
+    path passes a larger panel for worst-case compressed lengths).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _flat_jit(b_u8, meta, starts, ntrips, dst_max=dst_max,
-                     interpret=interpret, use_take=use_take)
+                     interpret=interpret, use_take=use_take,
+                     out_rows=out_rows)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dst_max", "interpret", "use_take"))
+                   static_argnames=("dst_max", "interpret", "use_take",
+                                    "out_rows"))
 def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
-              use_take: bool):
+              use_take: bool, out_rows: int):
     B, nbytes = b_u8.shape
     rb = nbytes // VEC
     b_i32 = b_u8.astype(jnp.int32).reshape(B, rb, VEC)
@@ -485,14 +508,15 @@ def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
             pl.BlockSpec((1, nmr, VEC), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, OUT_ROWS, VEC), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, out_rows, VEC), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out3 = pl.pallas_call(
-        functools.partial(_flat_kernel, use_take=use_take),
+        functools.partial(_flat_kernel, use_take=use_take,
+                          out_rows=out_rows),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, OUT_ROWS, VEC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, VEC), jnp.float32),
         interpret=interpret,
     )(ntrips, b_i32, starts, meta)
-    out = out3.astype(jnp.int32).astype(jnp.uint8).reshape(B, OUT_ROWS * VEC)
+    out = out3.astype(jnp.int32).astype(jnp.uint8).reshape(B, out_rows * VEC)
     return out[:, :dst_max]

@@ -116,6 +116,12 @@ def _load():
             i32p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
         ]
+        lib.sn_plan_flat_enc.restype = ctypes.c_int64
+        lib.sn_plan_flat_enc.argtypes = [
+            i32p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.sn_compress_framed.restype = ctypes.c_int64
         lib.sn_compress_framed.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int,
@@ -238,6 +244,37 @@ def plan_flat(
     if rc < 0:
         _raise(int(rc))
     return int(rc)
+
+
+def plan_flat_enc(
+    rec: np.ndarray,
+    n_tags: int,
+    comp: np.ndarray,
+    rb: int,
+    meta: np.ndarray,
+    starts: np.ndarray,
+    tagbuf: np.ndarray,
+    piece_cap: int = -1,
+) -> tuple[int, int] | None:
+    """C++ flat-plan ENCODE-emission planner (see sn_plan_flat_enc).
+    rec: int32[(T,4)] from parse_tags over comp (the host-encoded
+    element); meta/starts as plan_flat; tagbuf: uint8[tag_cap] output.
+    Returns (trip_count, tag_used) or None when a cap is exceeded."""
+    lib = _load()
+    trip_cap = meta.shape[0] // 8
+    used = ctypes.c_int64(0)
+    rc = lib.sn_plan_flat_enc(
+        rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_tags,
+        _as_u8p(comp), comp.shape[0], rb, trip_cap, piece_cap,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _as_u8p(tagbuf), tagbuf.shape[0], ctypes.byref(used),
+    )
+    if rc == -5:
+        return None
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc), int(used.value)
 
 
 def compress_framed(data: bytes, chunk_size: int = 65536, threads: int = 0) -> bytes:

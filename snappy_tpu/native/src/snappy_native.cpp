@@ -790,6 +790,69 @@ struct Planner {
     }
   }
 };
+
+// Shared packer: stable counting sort on (dst bin, source row), greedy
+// subpanel packing (mirrors kernels.decode_flat.pack_trips).  Returns
+// the trip count or SN_ERR_BUFFER past trip_cap.
+static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
+                    int64_t trip_cap, int32_t* meta, int32_t* starts_out) {
+  const int64_t Pn = (int64_t)pieces.size();
+  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
+  if (Pn == 0) return 0;
+  static thread_local std::vector<int32_t> order, q, rot, dphi, drow, dbin;
+  order.resize(Pn);
+  q.resize(Pn);
+  rot.resize(Pn);
+  dphi.resize(Pn);
+  drow.resize(Pn);
+  dbin.resize(Pn);
+  // key = dbin*2048 + q (q < rb <= 2048, dbin <= 5): stable and O(P)
+  int32_t hist[6 * 2048 + 1];
+  memset(hist, 0, sizeof(hist));
+  for (int64_t i = 0; i < Pn; i++) {
+    const Piece& pc = pieces[i];
+    int32_t dp = pc.dst & (kVec - 1);
+    int32_t base = pc.b - dp;
+    dphi[i] = dp;
+    q[i] = base >> 7;
+    rot[i] = (kVec - (base & (kVec - 1))) & (kVec - 1);
+    drow[i] = pc.dst >> 7;
+    dbin[i] = drow[i] >> 7;
+    hist[dbin[i] * 2048 + q[i] + 1]++;
+  }
+  for (int k = 1; k <= 6 * 2048; k++) hist[k] += hist[k - 1];
+  for (int64_t i = 0; i < Pn; i++)
+    order[hist[dbin[i] * 2048 + q[i]]++] = (int32_t)i;
+
+  int64_t n_sub = 0, i = 0;
+  while (i < Pn) {
+    int64_t t = n_sub / kNsub, s = n_sub % kNsub;
+    if (t >= trip_cap) return SN_ERR_BUFFER;
+    if (s == 0)  // zero the whole trip's meta rows as it opens
+      memset(meta + 2 * kNsub * t * kVec, 0,
+             (size_t)2 * kNsub * kVec * sizeof(int32_t));
+    int32_t S = q[order[i]];
+    if (S + kWRows > rb) S = (int32_t)(rb - kWRows);
+    int32_t bn = dbin[order[i]];
+    int64_t bin_end = i;
+    while (bin_end < Pn && dbin[order[bin_end]] == bn) bin_end++;
+    int64_t j = i + kVec < Pn ? i + kVec : Pn;
+    if (j > bin_end) j = bin_end;
+    while (j > i && q[order[j - 1]] - S > kWRows - 2) j--;
+    for (int64_t k = i; k < j; k++) {
+      int32_t idx = order[k];
+      meta[(2 * kNsub * t + s) * kVec + (k - i)] =
+          (q[idx] - S) | (rot[idx] << 7);
+      meta[(2 * kNsub * t + kNsub + s) * kVec + (k - i)] =
+          dphi[idx] | ((pieces[idx].len - 1) << 7) | ((drow[idx] & 127) << 14) |
+          kValid;
+    }
+    starts_out[(t >> 5) * kVec + (t & 31) * 4 + s] = S | (bn << 10);
+    n_sub++;
+    i = j;
+  }
+  return (n_sub + kNsub - 1) / kNsub;
+}
 }  // namespace flatplan
 
 int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
@@ -866,64 +929,85 @@ int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
       return SN_ERR_BUFFER;
   }
 
-  // ---- pack_trips: stable sort by (dst bin, source row), greedy pack
-  const int64_t Pn = (int64_t)P.pieces.size();
-  if (Pn == 0) return 0;
-  static thread_local std::vector<int32_t> order, q, rot, dphi, drow, dbin;
-  order.resize(Pn);
-  q.resize(Pn);
-  rot.resize(Pn);
-  dphi.resize(Pn);
-  drow.resize(Pn);
-  dbin.resize(Pn);
-  // counting sort on key = dbin*2048 + q (q < rb <= 2048, dbin <= 4):
-  // stable and O(P), replacing a comparison sort that profiled at ~35%
-  // of plan time
-  int32_t hist[5 * 2048 + 1];
-  memset(hist, 0, sizeof(hist));
-  for (int64_t i = 0; i < Pn; i++) {
-    const Piece& pc = P.pieces[i];
-    int32_t dp = pc.dst & (kVec - 1);
-    int32_t base = pc.b - dp;
-    dphi[i] = dp;
-    q[i] = base >> 7;
-    rot[i] = (kVec - (base & (kVec - 1))) & (kVec - 1);
-    drow[i] = pc.dst >> 7;
-    dbin[i] = drow[i] >> 7;
-    hist[dbin[i] * 2048 + q[i] + 1]++;
-  }
-  for (int k = 1; k <= 5 * 2048; k++) hist[k] += hist[k - 1];
-  for (int64_t i = 0; i < Pn; i++)
-    order[hist[dbin[i] * 2048 + q[i]]++] = (int32_t)i;
+  return pack(P.pieces, rb, trip_cap, meta, starts_out);
+}
 
-  int64_t n_sub = 0, i = 0;
-  while (i < Pn) {
-    int64_t t = n_sub / kNsub, s = n_sub % kNsub;
-    if (t >= trip_cap) return SN_ERR_BUFFER;
-    if (s == 0)  // zero the whole trip's meta rows as it opens
-      memset(meta + 2 * kNsub * t * kVec, 0,
-             (size_t)2 * kNsub * kVec * sizeof(int32_t));
-    int32_t S = q[order[i]];
-    if (S + kWRows > rb) S = (int32_t)(rb - kWRows);
-    int32_t bn = dbin[order[i]];
-    int64_t bin_end = i;
-    while (bin_end < Pn && dbin[order[bin_end]] == bn) bin_end++;
-    int64_t j = i + kVec < Pn ? i + kVec : Pn;
-    if (j > bin_end) j = bin_end;
-    while (j > i && q[order[j - 1]] - S > kWRows - 2) j--;
-    for (int64_t k = i; k < j; k++) {
-      int32_t idx = order[k];
-      meta[(2 * kNsub * t + s) * kVec + (k - i)] =
-          (q[idx] - S) | (rot[idx] << 7);
-      meta[(2 * kNsub * t + kNsub + s) * kVec + (k - i)] =
-          dphi[idx] | ((P.pieces[idx].len - 1) << 7) | ((drow[idx] & 127) << 14) |
-          kValid;
+// Flat-plan encode-emission planner: derives dependency-free pieces
+// from an already-encoded element (sn_compress output, pre-parsed by
+// sn_parse_tags).  Literal DATA gathers from the input block, which
+// sits in B rows [1, 513) — out[lit_dst] == input[out_start] by
+// construction — while everything else (preamble, tag headers, copy
+// tags, and literal runs <= kInlineLit riding inside a segment) is
+// appended to a contiguous tag buffer after the input span.  Device
+// replay emits the element byte-for-byte, so the ratio bound is
+// structural: the emission IS the host encoder's.
+//   rec:  int32[n_tags*4] from sn_parse_tags over comp
+//   comp: the full element (preamble + body)
+//   rb:   B rows (kernels.encode_flat.RB_ENC)
+//   meta/starts_out: packed trips (as sn_plan_flat)
+//   tagbuf: uint8[tag_cap] out; *tag_used_out = bytes written
+// Returns the trip count, or SN_ERR_BUFFER when a cap is exceeded
+// (caller picks another engine).
+int64_t sn_plan_flat_enc(const int32_t* rec, uint64_t n_tags,
+                         const uint8_t* comp, uint64_t comp_len,
+                         int64_t rb, int64_t trip_cap, int64_t piece_cap,
+                         int32_t* meta, int32_t* starts_out,
+                         uint8_t* tagbuf, uint64_t tag_cap,
+                         int64_t* tag_used_out) {
+  using namespace flatplan;
+  const int64_t kSrcSpan = 65536;        // input block span in B
+  const int64_t kTagBase = kVec + kSrcSpan;
+  if (trip_cap > 256) return SN_ERR_BUFFER;
+
+  static thread_local std::vector<Piece> pieces;
+
+  for (int inline_lit = 24; inline_lit >= 0; inline_lit -= 24) {
+    pieces.clear();
+    int64_t tag_used = 0, seg_start = 0;
+    bool overflow = false;
+    auto emit = [&](int64_t b, int64_t dst, int64_t ln) {
+      while (ln > 0) {
+        int64_t take = kVec - (dst & (kVec - 1));
+        if (take > ln) take = ln;
+        pieces.push_back({(int32_t)b, (int32_t)dst, (int32_t)take});
+        b += take;
+        dst += take;
+        ln -= take;
+      }
+    };
+    auto flush_seg = [&](int64_t upto) -> bool {
+      int64_t seg = upto - seg_start;
+      if (seg <= 0) return true;
+      if (tag_used + seg > (int64_t)tag_cap) return false;
+      memcpy(tagbuf + tag_used, comp + seg_start, seg);
+      emit(kTagBase + tag_used, seg_start, seg);
+      tag_used += seg;
+      return true;
+    };
+    for (uint64_t t = 0; t < n_tags && !overflow; t++) {
+      if (rec[4 * t + 0] != 0) continue;  // copies ride in tag segments
+      int64_t out_len = rec[4 * t + 1];
+      int64_t lit_src = rec[4 * t + 2];
+      int64_t out_start = rec[4 * t + 3];
+      if (out_len <= inline_lit) continue;  // short literal: stay in segment
+      if (!flush_seg(lit_src)) {
+        overflow = true;
+        break;
+      }
+      emit(kVec + out_start, lit_src, out_len);
+      seg_start = lit_src + out_len;
     }
-    starts_out[(t >> 5) * kVec + (t & 31) * 4 + s] = S | (bn << 10);
-    n_sub++;
-    i = j;
+    if (!overflow && !flush_seg((int64_t)comp_len)) overflow = true;
+    if (overflow) {
+      if (inline_lit == 0) return SN_ERR_BUFFER;
+      continue;  // retry without literal inlining
+    }
+    if (piece_cap >= 0 && (int64_t)pieces.size() > piece_cap)
+      return SN_ERR_BUFFER;
+    *tag_used_out = tag_used;
+    return pack(pieces, rb, trip_cap, meta, starts_out);
   }
-  return (n_sub + kNsub - 1) / kNsub;
+  return SN_ERR_BUFFER;  // unreachable
 }
 
 }  // extern "C"

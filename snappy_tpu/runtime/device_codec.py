@@ -223,9 +223,16 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
     from snappy_tpu.kernels.pallas_encode import ELANES, encode_blocks_pallas
 
     use_pallas = _pallas_enabled() and BATCH % ELANES == 0
+    from snappy_tpu import native as _native
+
+    # flat-encode engine: the host matcher IS the planning pass (its
+    # emission is replayed on device byte-for-byte, so the ratio bound
+    # is structural and RATIO_GUARD's duplicate host encode is free)
+    use_flat_enc = use_pallas and FLAT and _native.available()
     handles = []
     counts = []
     lens_all = []
+    flat_aux: dict = {}
     for base in range(0, n_chunks, BATCH):
         cnt = min(BATCH, n_chunks - base)
         # always dispatch full-BATCH rows: a ragged tail would compile a
@@ -237,7 +244,47 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             chunk = data[off : off + chunk_size]
             arr[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
             lens[i] = len(chunk)
-        if use_pallas:
+        if use_flat_enc:
+            from snappy_tpu.kernels.encode_flat import (
+                ENC_TRIP_CAP,
+                RB_ENC,
+                SRC_SPAN,
+                TAG_ROWS,
+                encode_blocks_flat,
+            )
+
+            b_u8 = np.zeros((BATCH, RB_ENC * 128), np.uint8)
+            fmeta = np.empty((BATCH, 8 * ENC_TRIP_CAP, 128), np.int32)
+            fst = np.zeros((BATCH, 8, 128), np.int32)
+            ntr = np.zeros(BATCH, np.int32)
+            tagbuf = np.empty(TAG_ROWS * 128, np.uint8)
+            tmp = np.empty((33280 // 2 + 2, 4), np.int32)
+            clens_h = np.zeros(BATCH, np.int32)
+            hdrs = np.zeros(BATCH, np.int32)
+            fallback: dict = {}
+            for i in range(cnt):
+                chunk = bytes(arr[i, : lens[i]])
+                c = _native.compress(chunk)
+                _, hdr = read_uvarint(c, 0)
+                cb = np.frombuffer(c, np.uint8)
+                nt = _native.parse_tags(c, hdr, len(chunk), tmp)
+                r = _native.plan_flat_enc(
+                    tmp, nt, cb, RB_ENC, fmeta[i], fst[i], tagbuf
+                )
+                if r is None:  # tag/trip cap: host emission directly
+                    fallback[i] = c[hdr:]
+                    ntr[i] = 0
+                    continue
+                ntr[i], tag_used = r
+                clens_h[i] = len(c)
+                hdrs[i] = hdr
+                b_u8[i, 128 : 128 + lens[i]] = arr[i, : lens[i]]
+                tb = 128 + SRC_SPAN
+                b_u8[i, tb : tb + tag_used] = tagbuf[:tag_used]
+            comp = encode_blocks_flat(b_u8, fmeta, fst, ntr)
+            flat_aux[len(handles)] = (hdrs, fallback)
+            handles.append(("flat", (comp, clens_h, None)))
+        elif use_pallas:
             # pallas emission is byte-identical to the reference encoder
             # (tests/test_pallas_encode.py) — ratio bound is structural,
             # no ok-flag and no RATIO_GUARD needed on this engine
@@ -263,14 +310,20 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
         comp_h = np.asarray(comp[:cnt, :kmax]) if kmax else np.zeros((cnt, 0), np.uint8)
         for i in range(cnt):
             idx = base + i
-            if ok_h[i]:
+            if engine == "flat":
+                hdrs, fallback = flat_aux[bi]
+                if i in fallback:
+                    blob = fallback[i]
+                else:
+                    blob = comp_h[i, int(hdrs[i]) : int(clen_h[i])].tobytes()
+            elif ok_h[i]:
                 blob = comp_h[i, : int(clen_h[i])].tobytes()
             else:  # hash-collision fallback (~never)
                 off = idx * chunk_size
                 blob = _oracle_block(bytes(data[off : off + chunk_size]))
-            if RATIO_GUARD and engine != "pallas":
-                # pallas emission IS the reference emission; guard only
-                # the approximating jnp engine
+            if RATIO_GUARD and engine not in ("pallas", "flat"):
+                # pallas/flat emission IS the reference emission; guard
+                # only the approximating jnp engine
                 off = idx * chunk_size
                 ref = _oracle_block(bytes(data[off : off + chunk_size]))
                 if len(ref) < len(blob):  # pragma: no cover - never observed

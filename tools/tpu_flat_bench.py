@@ -1,7 +1,7 @@
-"""Measure the flat-plan decoder on the real TPU: plan on host, verify
-bit-exactness, time fetch-forced repeats.
+"""Measure the flat-plan engines on the real TPU: plan on host (C++
+planner), verify bit-exactness, time fetch-forced repeats.
 
-Usage: python tools/tpu_flat_bench.py [n_batches] [B] [use_take]
+Usage: python tools/tpu_flat_bench.py [decode|encode] [n_batches] [B]
 """
 
 import sys
@@ -15,24 +15,29 @@ from snappy_tpu.utils.jaxcache import setup_compilation_cache
 setup_compilation_cache()
 
 import jax
+import jax.numpy as jnp
 
 from snappy_tpu import native
 from snappy_tpu.bench.corpus import make_corpus
 from snappy_tpu.kernels.decode_flat import (
-    NSUB,
+    PAT_ROWS,
     TRIP_CAP,
     VEC,
-    build_b_bytes,
     decode_blocks_flat,
-    pack_trips,
-    plan_flat,
     rows_b_for,
+)
+from snappy_tpu.kernels.encode_flat import (
+    ENC_TRIP_CAP,
+    RB_ENC,
+    SRC_SPAN,
+    TAG_ROWS,
+    encode_blocks_flat,
 )
 from snappy_tpu.spec.format import read_uvarint
 
-n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-use_take = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+mode = sys.argv[1] if len(sys.argv) > 1 else "decode"
+n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 BMAX, CMAX = 65536, 66560
 RB = rows_b_for(CMAX)
 
@@ -44,12 +49,19 @@ total = n_batches * B * BMAX
 tmp = np.empty((34000, 4), np.int32)
 batches = []
 expect = []
-t_plan = t_pack = 0.0
+t_plan = 0.0
 trip_counts = []
 for k in range(n_batches):
-    b_u8 = np.zeros((B, RB * VEC), np.uint8)
-    meta = np.zeros((B, 2 * NSUB * TRIP_CAP, VEC), np.int32)
-    starts = np.zeros((B, 8, VEC), np.int32)
+    if mode == "decode":
+        b_u8 = np.zeros((B, RB * VEC), np.uint8)
+        meta = np.zeros((B, 8 * TRIP_CAP, VEC), np.int32)
+        starts = np.zeros((B, 8, VEC), np.int32)
+        fpat = np.empty(PAT_ROWS * VEC, np.uint8)
+    else:
+        b_u8 = np.zeros((B, RB_ENC * VEC), np.uint8)
+        meta = np.zeros((B, 8 * ENC_TRIP_CAP, VEC), np.int32)
+        starts = np.zeros((B, 8, VEC), np.int32)
+        tagbuf = np.empty(TAG_ROWS * VEC, np.uint8)
     ntr = np.zeros(B, np.int32)
     exp = []
     for i in range(B):
@@ -60,26 +72,32 @@ for k in range(n_batches):
         cb = np.frombuffer(c, np.uint8)
         t0 = time.perf_counter()
         nt = native.parse_tags(c, h, BMAX, tmp)
-        plan = plan_flat(tmp, nt, cb)
-        t_plan += time.perf_counter() - t0
-        assert plan is not None, "plan overflow"
-        pieces, pat = plan
-        t0 = time.perf_counter()
-        pk = pack_trips(pieces, TRIP_CAP, RB)
-        t_pack += time.perf_counter() - t0
-        assert pk is not None, f"pack overflow ({len(pieces)} pieces)"
-        meta[i], starts[i], ntr[i] = pk
-        b_u8[i] = build_b_bytes(cb, pat, RB)
+        if mode == "decode":
+            g = native.plan_flat(tmp, nt, cb, RB, meta[i], starts[i], fpat)
+            assert g is not None, "plan overflow"
+            ntr[i] = g
+            t_plan += time.perf_counter() - t0
+            b_u8[i, VEC : VEC + len(cb)] = cb
+            b_u8[i, VEC + len(cb) : VEC + len(cb) + PAT_ROWS * VEC] = fpat
+            exp.append(block)
+        else:
+            r = native.plan_flat_enc(tmp, nt, cb, RB_ENC, meta[i], starts[i],
+                                     tagbuf)
+            assert r is not None, "plan overflow"
+            ntr[i], tag_used = r
+            t_plan += time.perf_counter() - t0
+            b_u8[i, VEC : VEC + len(block)] = np.frombuffer(block, np.uint8)
+            tb = VEC + SRC_SPAN
+            b_u8[i, tb : tb + tag_used] = tagbuf[:tag_used]
+            exp.append(c)
         trip_counts.append(int(ntr[i]))
-        exp.append(block)
     batches.append(tuple(map(jax.device_put, (b_u8, meta, starts, ntr))))
     expect.append(exp)
 
-print(f"staged {n_batches}x{B} blocks, {total/1e6:.1f} MB, "
+print(f"staged {n_batches}x{B} blocks ({mode}), {total/1e6:.1f} MB, "
       f"avg trips/block {np.mean(trip_counts):.1f} (max {max(trip_counts)}), "
-      f"host plan {t_plan:.2f}s pack {t_pack:.2f}s", flush=True)
-
-import jax.numpy as jnp
+      f"host parse+plan {t_plan:.2f}s ({total/1e9/t_plan:.3f} GB/s 1-thread)",
+      flush=True)
 
 combine = jax.jit(lambda *xs: sum(jnp.sum(x[:, :1].astype(jnp.int32)) for x in xs))
 
@@ -87,19 +105,24 @@ combine = jax.jit(lambda *xs: sum(jnp.sum(x[:, :1].astype(jnp.int32)) for x in x
 def run():
     outs = []
     for b_u8, meta, starts, ntr in batches:
-        outs.append(decode_blocks_flat(b_u8, meta, starts, ntr, BMAX,
-                                       use_take=use_take))
+        if mode == "decode":
+            outs.append(decode_blocks_flat(b_u8, meta, starts, ntr, BMAX))
+        else:
+            outs.append(encode_blocks_flat(b_u8, meta, starts, ntr))
     return outs
 
 
 t0 = time.time()
 outs = run()
 np.asarray(combine(*outs))
-print(f"compile+first run {time.time()-t0:.1f}s (use_take={use_take})",
-      flush=True)
+print(f"compile+first run {time.time()-t0:.1f}s", flush=True)
 
 out0 = np.asarray(outs[0])
-bad = sum(1 for i in range(B) if out0[i].tobytes() != expect[0][i])
+bad = 0
+for i in range(B):
+    want = expect[0][i]
+    got = out0[i][: len(want)].tobytes()
+    bad += got != want
 print(f"verify batch0: {B - bad}/{B} blocks bit-exact", flush=True)
 
 times = []
