@@ -18,6 +18,7 @@ dist/ without any shared state (SURVEY.md §7.4).
 from __future__ import annotations
 
 import os
+import threading
 
 import jax
 import numpy as np
@@ -150,6 +151,40 @@ WAVE_G_CAP = 8192
 # (docs/performance.md).  Off → wave engine.
 FLAT = os.environ.get("SNAPPY_TPU_FLAT", "1") != "0"
 
+# Host planning pool: per-row plans are independent and the native
+# calls release the GIL; 4 workers roughly match the planner's
+# single-thread rate to the device kernel's.
+_PLAN_POOL = None
+_plan_scratch = threading.local()
+
+
+def _plan_pool():
+    global _PLAN_POOL
+    if _PLAN_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PLAN_POOL = ThreadPoolExecutor(
+            max_workers=min(4, os.cpu_count() or 1),
+            thread_name_prefix="snappy-plan",
+        )
+    return _PLAN_POOL
+
+
+def _plan_tls():
+    """Per-thread planner scratch: (tag records, pattern buf, tag buf)."""
+    s = getattr(_plan_scratch, "bufs", None)
+    if s is None:
+        from snappy_tpu.kernels.decode_flat import PAT_ROWS
+        from snappy_tpu.kernels.encode_flat import TAG_ROWS
+
+        s = (
+            np.empty((_DECODE_CMAX // 2 + 2, 4), np.int32),
+            np.empty(PAT_ROWS * 128, np.uint8),
+            np.empty(TAG_ROWS * 128, np.uint8),
+        )
+        _plan_scratch.bufs = s
+    return s
+
 
 @functools.partial(jax.jit, static_argnames=("out_max",))
 def _decode_wave_and_crc(arr, words, ngroups, dlens, want_crc, out_max: int):
@@ -257,30 +292,34 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             fmeta = np.empty((BATCH, 8 * ENC_TRIP_CAP, 128), np.int32)
             fst = np.zeros((BATCH, 8, 128), np.int32)
             ntr = np.zeros(BATCH, np.int32)
-            tagbuf = np.empty(TAG_ROWS * 128, np.uint8)
-            tmp = np.empty((33280 // 2 + 2, 4), np.int32)
             clens_h = np.zeros(BATCH, np.int32)
             hdrs = np.zeros(BATCH, np.int32)
             fallback: dict = {}
-            for i in range(cnt):
+
+            def _plan_enc_row(i):
                 chunk = bytes(arr[i, : lens[i]])
-                c = _native.compress(chunk)
+                c = _native.compress(chunk)  # the matcher IS the plan
                 _, hdr = read_uvarint(c, 0)
                 cb = np.frombuffer(c, np.uint8)
-                nt = _native.parse_tags(c, hdr, len(chunk), tmp)
+                scratch = _plan_tls()
+                nt = _native.parse_tags(c, hdr, len(chunk), scratch[0])
                 r = _native.plan_flat_enc(
-                    tmp, nt, cb, RB_ENC, fmeta[i], fst[i], tagbuf
+                    scratch[0], nt, cb, RB_ENC, fmeta[i], fst[i], scratch[2]
                 )
                 if r is None:  # tag/trip cap: host emission directly
-                    fallback[i] = c[hdr:]
-                    ntr[i] = 0
-                    continue
+                    return i, c[hdr:]
                 ntr[i], tag_used = r
                 clens_h[i] = len(c)
                 hdrs[i] = hdr
                 b_u8[i, 128 : 128 + lens[i]] = arr[i, : lens[i]]
                 tb = 128 + SRC_SPAN
-                b_u8[i, tb : tb + tag_used] = tagbuf[:tag_used]
+                b_u8[i, tb : tb + tag_used] = scratch[2][:tag_used]
+                return i, None
+
+            for i, blob in _plan_pool().map(_plan_enc_row, range(cnt)):
+                if blob is not None:
+                    fallback[i] = blob
+                    ntr[i] = 0
             comp = encode_blocks_flat(b_u8, fmeta, fst, ntr)
             flat_aux[len(handles)] = (hdrs, fallback)
             handles.append(("flat", (comp, clens_h, None)))
@@ -529,45 +568,60 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 )
 
                 rb = rows_b_for(cmax)
-                tmp = np.empty((_T_CAP, 4), dtype=np.int32)
                 b_u8 = np.zeros((BATCH, rb * 128), dtype=np.uint8)
                 fmeta = np.empty((BATCH, 8 * _F_TRIPS, 128), dtype=np.int32)
                 fstarts = np.empty((BATCH, 8, 128), dtype=np.int32)
-                fpat = np.empty(_F_PATR * 128, dtype=np.uint8)
                 ntr = np.zeros(BATCH, dtype=np.int32)
                 host_rows = set()
                 dlens_w = dlens.copy()
                 want_w = want.copy()
-                for row, i in enumerate(grp):
-                    _, p_off, p_len, crc, dst_len, hdr = chunks[i]
+
+                # per-row planning is independent; the native calls
+                # release the GIL, so a small pool overlaps them
+                # (ctypes + per-thread scratch via thread_local planner)
+                def _plan_row(args, _rb=rb):
+                    row, i = args
+                    _, p_off, p_len, crc_, dst_len, hdr = chunks[i]
+                    scratch = _plan_tls()
                     payload = src_arr[p_off : p_off + p_len]
-                    nt = _native.parse_tags(payload.tobytes(), hdr, dst_len, tmp)
+                    nt = _native.parse_tags(
+                        payload.tobytes(), hdr, dst_len, scratch[0]
+                    )
                     g = _native.plan_flat(
-                        tmp, nt, payload, rb, fmeta[row], fstarts[row], fpat
+                        scratch[0], nt, payload, _rb,
+                        fmeta[row], fstarts[row], scratch[1]
                     )
                     if g is None:
-                        # pathological plan density: this chunk decodes
-                        # on host; neutralize its device row
-                        blob = _host_decompress_raw(
-                            bytes(src_arr[p_off : p_off + p_len])
+                        # pathological plan density: decode on host
+                        return row, i, None, _host_decompress_raw(
+                            bytes(payload)
                         )
-                        if len(blob) != dst_len:
-                            raise CorruptError(
-                                "chunk preamble disagrees with decoded size"
-                            )
-                        out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(
-                            blob, dtype=np.uint8
-                        )
-                        host_rows.add(row)
-                        fallback_verify.add(i)
-                        ntr[row] = 0
-                        fmeta[row, :8] = 0
-                        dlens_w[row] = 0
-                        want_w[row] = 0
-                        continue
                     ntr[row] = g
                     b_u8[row, 128 : 128 + p_len] = payload
-                    b_u8[row, 128 + p_len : 128 + p_len + _F_PATR * 128] = fpat
+                    b_u8[row, 128 + p_len : 128 + p_len + _F_PATR * 128] = (
+                        scratch[1]
+                    )
+                    return row, i, g, None
+
+                for row, i, g, blob in _plan_pool().map(
+                    _plan_row, list(enumerate(grp))
+                ):
+                    if g is not None:
+                        continue
+                    dst_len = chunks[i][4]
+                    if len(blob) != dst_len:
+                        raise CorruptError(
+                            "chunk preamble disagrees with decoded size"
+                        )
+                    out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(
+                        blob, dtype=np.uint8
+                    )
+                    host_rows.add(row)
+                    fallback_verify.add(i)
+                    ntr[row] = 0
+                    fmeta[row, :8] = 0
+                    dlens_w[row] = 0
+                    want_w[row] = 0
                 handles.append((
                     "flat",
                     _decode_flat_and_crc(

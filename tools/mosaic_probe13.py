@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 VEC = 128
-W = 128
+W = int(os.environ.get("PROBE_W", "128"))
 INTERP = os.environ.get("PROBE_INTERPRET") == "1"
 RB = 728
 ROWS = 520
