@@ -71,7 +71,9 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
     from snappy_tpu.spec.format import read_uvarint
     from snappy_tpu import native
 
-    B = int(os.environ.get("SNAPPY_TPU_BENCH_DEVBATCH", "64"))
+    # 128-block batches: the axon relay's per-dispatch floor (~10-40 ms)
+    # amortizes over more work per call (tools/tpu_flat_bench B sweep)
+    B = int(os.environ.get("SNAPPY_TPU_BENCH_DEVBATCH", "128"))
     BMAX, CMAX = 65536, 66560
     n_batches = max(1, min(8, len(data) // (B * BMAX)))
     total = n_batches * B * BMAX

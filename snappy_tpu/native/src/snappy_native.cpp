@@ -898,7 +898,12 @@ int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
         P.copy_resolved(s0, L, off);
       } else {
         size_t i0 = P.lookup(s0);
-        if (i0 == P.lookup(d - 1) && P.kinds[i0] == 1) {
+        // Pattern reuse is sound only when the copy offset is a
+        // multiple of the entry's period: for j >= off the output
+        // self-references with period off, which coincides with the
+        // period-p continuation iff p | off.
+        if (i0 == P.lookup(d - 1) && P.kinds[i0] == 1 &&
+            off % P.periods[i0] == 0) {
           int64_t pb = P.infos[i0];
           int32_t p = P.periods[i0];
           int64_t anc = P.anchors[i0] + off;

@@ -320,7 +320,11 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
                 if blob is not None:
                     fallback[i] = blob
                     ntr[i] = 0
-            comp = encode_blocks_flat(b_u8, fmeta, fst, ntr)
+            # pre-cast on host: saves a full-HBM-pass device cast per
+            # call (the encode path is fixed-overhead-bound)
+            comp = encode_blocks_flat(
+                b_u8.astype(np.int32).reshape(BATCH, -1, 128), fmeta, fst, ntr
+            )
             flat_aux[len(handles)] = (hdrs, fallback)
             handles.append(("flat", (comp, clens_h, None)))
         elif use_pallas:

@@ -155,9 +155,10 @@ def _native_plan(cb, rb):
     meta = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
     starts = np.empty((8, VEC), np.int32)
     pat = np.empty(DF.PAT_ROWS * VEC, np.uint8)
+    tmp = np.empty((34000, 4), np.int32)  # per-call: thread-safety test
     nt = native.parse_tags(cb.tobytes(), read_uvarint(cb.tobytes(), 0)[1],
-                           read_uvarint(cb.tobytes(), 0)[0], _TMP)
-    ntr = native.plan_flat(_TMP, nt, cb, rb, meta, starts, pat)
+                           read_uvarint(cb.tobytes(), 0)[0], tmp)
+    ntr = native.plan_flat(tmp, nt, cb, rb, meta, starts, pat)
     return ntr, meta, starts, pat
 
 
@@ -205,6 +206,161 @@ def test_native_planner_piece_cap(rng):
     nt = native.parse_tags(c, read_uvarint(c, 0)[1], 65536, _TMP)
     assert native.plan_flat(_TMP, nt, cb, rb, meta, starts, pat,
                             piece_cap=3) is None
+
+
+def test_pattern_budget_exhaustion_doubling_path(rng):
+    """>128 distinct overlapping-copy runs exhaust the 32 KiB pattern
+    budget; later runs take the offset-doubling path.  Bytes must stay
+    exact through both regimes, in np and in the C++ planner."""
+    parts = []
+    for k in range(300):
+        pat = rng.randbytes(37 + (k % 11))
+        parts.append(pat * 5)  # overlapping copy, offset 37..47
+    data = b"".join(parts)[:65000]
+    cb, dlen, pieces, pat = _plan(data)
+    meta, starts, ntr, bb, rb = _pack(cb, pieces, pat)
+    out = execute_flat_np(meta, starts, ntr, bb, dlen)
+    assert out.tobytes() == data
+    ntr_c, meta_c, starts_c, pat_c = _native_plan(cb, rb)
+    assert ntr_c == ntr
+    assert (meta_c[: 8 * ntr] == meta[: 8 * ntr]).all()
+
+
+def test_copy_of_copy_chain_healing(rng):
+    """Deep copy-of-copy chains fragment the resolved map; the healing
+    path re-materializes them.  seed data -> repeat -> re-copy slices
+    with growing offsets."""
+    base = rng.randbytes(997)
+    data = bytearray(base)
+    while len(data) < 60000:
+        off = 100 + (len(data) * 7) % (len(data) - 200)
+        ln = min(900, len(data) - off)
+        data += bytes(data[-off:][:ln])  # snappy-expressible overlap mix
+    data = bytes(data[:60000])
+    cb, dlen, pieces, pat = _plan(data)
+    meta, starts, ntr, bb, rb = _pack(cb, pieces, pat)
+    assert execute_flat_np(meta, starts, ntr, bb, dlen).tobytes() == data
+    ntr_c, meta_c, starts_c, pat_c = _native_plan(cb, rb)
+    assert ntr_c == ntr and (meta_c[: 8 * ntr] == meta[: 8 * ntr]).all()
+
+
+def test_pack_window_shrink(rng):
+    """Pieces whose sources span more than W_ROWS rows inside one dst
+    bin force the packer to shrink subpanels; invariants must hold and
+    replay stays exact.  Long-range copies (offset ~60KB) interleaved
+    with literals produce exactly that spread."""
+    head = rng.randbytes(50000)
+    tail = bytearray()
+    for k in range(100):
+        src = (k * 523) % 49000
+        tail += head[src : src + 60] + bytes([k & 0xFF] * 4)
+    data = head + bytes(tail)
+    data = data[:65536]
+    cb, dlen, pieces, pat = _plan(data)
+    rb = rows_b_for(len(cb))
+    pk = pack_trips(pieces, TRIP_CAP, rb)
+    assert pk is not None
+    meta, starts, ntr = pk
+    for t in range(ntr):
+        for s in range(NSUB):
+            a = meta[2 * NSUB * t + s]
+            assert int((a & 127).max(initial=0)) <= W_ROWS - 2
+    bb = build_b_bytes(cb, pat, rb)
+    assert execute_flat_np(meta, starts, ntr, bb, dlen).tobytes() == data
+
+
+def test_native_planner_threaded_consistency(rng):
+    """The C++ planner's thread_local state must not leak between
+    interleaved plans of different blocks (the runtime pool planning
+    pattern)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    blocks = [rng.randbytes(3000), b"ab" * 5000,
+              (open("/root/repo/README.md", "rb").read() * 2)[:30000]] * 4
+    expected = []
+    for blk in blocks:
+        cb, dlen, pieces, pat = _plan(blk)
+        rb = rows_b_for(len(cb))
+        meta, starts, ntr = pack_trips(pieces, TRIP_CAP, rb)
+        expected.append((cb, rb, ntr, meta.copy()))
+
+    def worker(args):
+        blk, (cb, rb, ntr_py, meta_py) = args
+        ntr, meta, starts, pat = _native_plan(cb, rb)
+        return ntr == ntr_py and (meta[: 8 * ntr] == meta_py[: 8 * ntr]).all()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        assert all(ex.map(worker, zip(blocks, expected)))
+
+
+def test_overlapping_copy_into_mismatched_period_run(rng):
+    """Regression: an overlapping copy whose SOURCE lies inside a
+    periodic entry but whose offset is NOT a multiple of that entry's
+    period (here off=4 into a period-7 run).  The reuse branch used to
+    keep period 7; the true output self-references with period 4.
+    Found as 3/768 corpus blocks decoding wrong on TPU."""
+    comp = np.frombuffer(b"and of ", np.uint8)
+    recs = np.array([
+        [0, 7, 0, 0],    # literal "and of " at 0
+        [1, 35, 7, 7],   # copy off=7 len=35 -> period-7 run, out 7..42
+        [1, 6, 4, 42],   # copy off=4 len=6, source 38..44 overlaps dst
+    ], np.int32)
+    # ground truth by direct emulation
+    exp = bytearray(b"and of ")
+    for _ in range(35):
+        exp.append(exp[-7])
+    for _ in range(6):
+        exp.append(exp[-4])
+    exp = bytes(exp)
+    plan = plan_flat(recs, 3, comp)
+    assert plan is not None
+    pieces, pat = plan
+    rb = rows_b_for(len(comp))
+    meta, starts, ntr = pack_trips(pieces, TRIP_CAP, rb)
+    out = execute_flat_np(meta, starts, ntr, build_b_bytes(comp, pat, rb),
+                          len(exp))
+    assert out.tobytes() == exp
+    # C++ planner parity on the same records
+    meta_c = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
+    starts_c = np.empty((8, VEC), np.int32)
+    pat_c = np.empty(DF.PAT_ROWS * VEC, np.uint8)
+    g = native.plan_flat(recs, 3, comp, rb, meta_c, starts_c, pat_c)
+    assert g == ntr
+    bc = np.zeros(rb * VEC, np.uint8)
+    bc[VEC : VEC + len(comp)] = comp
+    bc[VEC + len(comp) : VEC + len(comp) + len(pat_c)] = pat_c
+    out_c = execute_flat_np(meta_c, starts_c, g, bc, len(exp))
+    assert out_c.tobytes() == exp
+
+
+def test_wide_corpus_sweep_np_contract(rng):
+    """Breadth fuzz at production block count: 48 MB of corpus blocks
+    through parse -> C++ plan -> np replay (the regression above was a
+    3-in-768-blocks event; keep a wide net)."""
+    from snappy_tpu.bench.corpus import make_corpus
+
+    files = make_corpus(12 * 1024 * 1024, seed=29)
+    data = b"".join(d for _, d in files)
+    meta = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
+    starts = np.empty((8, VEC), np.int32)
+    pat = np.empty(DF.PAT_ROWS * VEC, np.uint8)
+    bad = 0
+    nblk = len(data) // 65536
+    for k in range(nblk):
+        blk = data[k * 65536 : (k + 1) * 65536]
+        c = native.compress(blk)
+        dlen, h = read_uvarint(c, 0)
+        cb = np.frombuffer(c, np.uint8)
+        nt = native.parse_tags(c, h, dlen, _TMP)
+        rb = rows_b_for(len(cb))
+        g = native.plan_flat(_TMP, nt, cb, rb, meta, starts, pat)
+        assert g is not None, k
+        bb = np.zeros(rb * VEC, np.uint8)
+        bb[VEC : VEC + len(cb)] = cb
+        bb[VEC + len(cb) : VEC + len(cb) + DF.PAT_ROWS * VEC] = pat
+        out = execute_flat_np(meta, starts, g, bb, dlen)
+        bad += out.tobytes() != blk
+    assert bad == 0, f"{bad}/{nblk} blocks wrong"
 
 
 def test_empty_plan_executes():

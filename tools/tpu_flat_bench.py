@@ -91,7 +91,11 @@ for k in range(n_batches):
             b_u8[i, tb : tb + tag_used] = tagbuf[:tag_used]
             exp.append(c)
         trip_counts.append(int(ntr[i]))
-    batches.append(tuple(map(jax.device_put, (b_u8, meta, starts, ntr))))
+    if mode == "encode":  # stage pre-cast i32 (skips a per-call HBM pass)
+        b_dev = b_u8.astype(np.int32).reshape(B, -1, VEC)
+    else:
+        b_dev = b_u8
+    batches.append(tuple(map(jax.device_put, (b_dev, meta, starts, ntr))))
     expect.append(exp)
 
 print(f"staged {n_batches}x{B} blocks ({mode}), {total/1e6:.1f} MB, "
