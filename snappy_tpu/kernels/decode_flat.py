@@ -4,45 +4,47 @@ source, the TPU executes 512-piece trips with MXU one-hot gathers.
 Why (docs/performance.md): every prior on-TPU decode engine is bound by
 Mosaic's strictly in-order execution of a serial dependency chain —
 ~370-900 ns per group/tag.  The flat plan removes the chain entirely:
+every *piece* reads a linear window of a byte buffer ``B`` (= one zero
+pad row + the compressed payload + a "mirror" side-buffer), so no piece
+depends on another piece's output.
 
-- The host planner walks the tag stream once and maintains a *resolved
-  map* from output intervals to linear windows of a byte buffer ``B``
-  (= one zero pad row + the compressed payload + a "patterns"
-  side-buffer of materialized periodic runs).  Copies are resolved
-  through the map at plan time, so every emitted *piece* reads only
-  ``B`` — no piece depends on another piece's output.
-- Pieces are split at output-row boundaries (dst stays in one 128-byte
-  row, len <= 128) and carry a linear source: out[drow*128+l] =
-  B[base + l - dphi] for l in [dphi, dphi+len).
-- The device kernel executes 4 subpanels of 128 pieces per loop trip.
-  Per subpanel: a one-hot [128, W] row-select matmul against a
-  dynamically sliced W-row window of B gathers every piece's source
-  row pair at MXU rate; per-piece lane alignment is applied either by
-  take_along_axis(axis=1) or by a masked 7-roll barrel shifter (both
-  Mosaic-provable; see tools/mosaic_probe9/10); and a one-hot
-  [128, 128] compose matmul scatters the masked piece rows into the
-  subpanel's 128-row destination bin of the output (dynamic-start
-  read-modify-write accumulate, the wave kernel's proven construct).
-  Disjoint destination bytes make the f32 accumulation exact.  The
-  packer bins pieces by (dst>>14, then source row) so both the gather
-  and the compose stay windowed — a full-height compose matmul is the
-  one construct the Mosaic service rejects (tools/mosaic_probe10).
+Planner (v2, the round-2 redesign): the tag stream is already validated
+(native sn_parse_tags), so the host first replays it into a scratch
+decode ``dec`` (a tight C++ LZ loop, ~GB/s), then classifies emissions
+in one pass:
 
-Overlapping copies: snappy copy ops have len <= 64, so an overlapping
-copy always has period p = offset < 64.  The planner materializes the
-run's pattern once into a 256-byte ``pat256`` (the pattern repeated),
-after which every piece of the run — and of any later copy sourcing the
-run — is again *linear* into pat256, because the mod-p wrap can be
-hoisted to the piece start: (dst - anchor) mod p + 127 < 256.  Chained
-RLE copies whose source lies in a single periodic entry reuse the same
-pattern, so a megabyte of zeros costs one 256-byte pattern.  If the
-pattern budget is exhausted the planner falls back to offset-doubling
-pieces (resolved through the map like any copy).
+- literals >= DIRECT_T gather straight from the compressed payload;
+- copies >= DIRECT_T whose source lies inside one literal's output
+  remap to the payload (out[s0..s0+L) == comp bytes by construction);
+- everything else — short emissions and copy-of-copy chains — rides a
+  pending *run*: maximal dst-contiguous spans memcpy'd once from dec
+  into the mirror and emitted as full-row linear pieces.
 
-Plans come from validated streams (native sn_parse_tags), mirroring the
-wave engine's trust model; the runtime's device CRC covers the output
-end to end.  `execute_flat_np` replays a *packed* plan byte-for-byte on
-numpy and is the contract the pallas kernel is tested against.
+Runs are disjoint ascending output ranges, so the mirror never exceeds
+one block (64 KiB) and the plan needs no resolved map, no periodic
+patterns, and no healing heuristics.  On tag-dense data (~8 B/tag) this
+cuts pieces/block ~20x vs one-piece-per-emission (to ~1 device trip);
+on literal-heavy data nearly all bytes ride zero-copy payload gathers.
+
+Device kernel: pieces are split at output-row boundaries (dst stays in
+one 128-byte row, len <= 128) and carry a linear source: out[drow*128+l]
+= B[base + l - dphi] for l in [dphi, dphi+len).  The kernel executes 4
+subpanels of 128 pieces per loop trip.  Per subpanel: a one-hot [128, W]
+row-select matmul against a dynamically sliced W-row window of B
+gathers every piece's source row pair at MXU rate; per-piece lane
+alignment is applied either by take_along_axis(axis=1) or by a masked
+7-roll barrel shifter (both Mosaic-provable; see tools/mosaic_probe9/10);
+and a one-hot [128, 128] compose matmul scatters the masked piece rows
+into the subpanel's 128-row destination bin of the output (dynamic-start
+read-modify-write accumulate, the wave kernel's proven construct).
+Disjoint destination bytes make the f32 accumulation exact.  The packer
+bins pieces by (dst>>14, then source row) so both the gather and the
+compose stay windowed — a full-height compose matmul is the one
+construct the Mosaic service rejects (tools/mosaic_probe10).
+
+The runtime's device CRC covers the output end to end.
+`execute_flat_np` replays a *packed* plan byte-for-byte on numpy and is
+the contract the pallas kernel is tested against.
 """
 
 from __future__ import annotations
@@ -67,22 +69,21 @@ VEC = 128
 NSUB = 4             # subpanels per device loop trip
 PANEL = NSUB * VEC   # pieces per trip
 W_ROWS = 128         # source window rows per subpanel (static slice width)
-PAT_ROWS = 256       # pattern + mirror side-buffer rows (32 KiB)
+PAT_ROWS = 512       # mirror side-buffer rows (64 KiB: runs are disjoint
+                     # ascending output ranges, so one block bounds it)
 OUT_ROWS = 520       # 64 KiB output + slack, multiple of 8
 TRIP_CAP = 96        # device trips per block (fallback past this)
 
-_LIN, _PER = 0, 1
-
-# Materialize a 256 B pattern for every overlapping copy (snappy copy
-# len <= 64 means the period is always < 64).  Only when the pattern
-# budget is exhausted do we fall back to offset-doubling, which costs
-# O(log(L/off)) extra map-resolved pieces.
-PAT_PERIOD_MAX = 63
+# Emissions >= DIRECT_T whose bytes exist verbatim in the payload
+# (literals, and copies sourced inside one literal) become direct
+# payload gathers; everything else rides mirrored runs.  Measured on the
+# bench corpus: pieces/block 10744 -> 513 (~1 device trip).
+DIRECT_T = 32
 
 
 def rows_b_for(cmax: int) -> int:
     """Rows of the B buffer for a given compressed row width: one zero
-    pad row + payload rows + patterns + one trailing guard row, rounded
+    pad row + payload rows + mirror + one trailing guard row, rounded
     to the int32 sublane tile."""
     r = 1 + (cmax + VEC - 1) // VEC + PAT_ROWS + 1
     return (r + 7) & ~7
@@ -90,50 +91,49 @@ def rows_b_for(cmax: int) -> int:
 
 def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
               piece_cap: int | None = None):
-    """Resolve a parsed tag stream into dependency-free pieces.
+    """Resolve a parsed tag stream into dependency-free pieces (v2).
 
     recs: int32[T, 4] rows (kind, out_len, offset|lit_src, out_start)
     from sn_parse_tags; comp: uint8[clen] payload (tag bytes included —
     lit_src offsets index into it).
 
-    Returns (pieces int32[P, 3] of (b_src, dst, len), patterns uint8
-    [PAT_ROWS*128]) or None when the piece cap is exceeded (caller
-    falls back to the wave engine).
+    Returns (pieces int32[P, 3] of (b_src, dst, len), mirror uint8
+    [PAT_ROWS*128]) or None when piece_cap or the mirror capacity is
+    exceeded (caller falls back to another engine).  This is the
+    readable contract; native sn_plan_flat mirrors it
+    decision-for-decision (tests enforce bit-identical outputs).
     """
     COMP_BASE = VEC  # B byte address of comp[0] (row 0 is the pad row)
+    out_end = 0
+    if n_tags:
+        out_end = int(recs[n_tags - 1, 3]) + int(recs[n_tags - 1, 1])
+
+    # scratch decode: the stream is already validated, replay it
+    dec = np.zeros(out_end, dtype=np.uint8)
+    for t in range(n_tags):
+        kind, L, arg, d = (int(recs[t, 0]), int(recs[t, 1]),
+                           int(recs[t, 2]), int(recs[t, 3]))
+        if kind == 0:
+            dec[d : d + L] = comp[arg : arg + L]
+        else:
+            s0 = d - arg
+            if arg >= L:
+                dec[d : d + L] = dec[s0 : s0 + L]
+            else:  # overlapping: periodic extension
+                reps = (L + arg - 1) // arg
+                dec[d : d + L] = np.tile(dec[s0:d], reps)[:L]
+
     pieces: list[tuple[int, int, int]] = []
     pat = np.zeros(PAT_ROWS * VEC, dtype=np.uint8)
-    pat_used = 0
-    pat_base0 = COMP_BASE + len(comp)  # patterns live right after comp
+    pat_base0 = COMP_BASE + len(comp)  # mirror lives right after comp
+    mirror_used = 0
 
-    # resolved map: contiguous output intervals, appended in order.
-    # starts[i] .. starts[i+1] maps by kind[i]:
-    #   _LIN: out[x] = B[info[i] + x - starts[i]]
-    #   _PER: out[x] = B[info[i] + ((x - anchor[i]) mod period[i])],
-    #         with B[info[i] .. +256) a periodic extension (pat256)
-    starts: list[int] = []
-    kinds: list[int] = []
-    infos: list[int] = []
-    periods: list[int] = []
-    anchors: list[int] = []
-    ends: list[int] = []
+    # literal output intervals (ascending), for copy -> payload remap
+    import bisect
 
-    def b_at(addr: int) -> int:
-        """Read one byte of the virtual B buffer (host side)."""
-        if addr < COMP_BASE:
-            return 0
-        if addr < pat_base0:
-            return int(comp[addr - COMP_BASE])
-        return int(pat[addr - pat_base0])
-
-    def add_entry(out_s: int, out_e: int, kind: int, info: int,
-                  period: int = 1, anchor: int = 0) -> None:
-        starts.append(out_s)
-        kinds.append(kind)
-        infos.append(info)
-        periods.append(period)
-        anchors.append(anchor)
-        ends.append(out_e)
+    lit_s: list[int] = []
+    lit_e: list[int] = []
+    lit_a: list[int] = []
 
     def emit_linear(b: int, dst: int, ln: int) -> None:
         while ln > 0:
@@ -143,123 +143,58 @@ def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
             dst += take
             ln -= take
 
-    def emit_periodic(pat_b: int, p: int, anchor: int, dst: int, ln: int) -> None:
-        while ln > 0:
-            take = min(ln, VEC - (dst & (VEC - 1)))
-            b = pat_b + ((dst - anchor) % p)
-            pieces.append((b, dst, take))
-            dst += take
-            ln -= take
+    run_start = -1
+    run_end = -1
 
-    import bisect
-
-    def lookup(x: int) -> int:
-        return bisect.bisect_right(starts, x) - 1
-
-    def resolve_read(addr: int) -> int:
-        """Materialize output byte at position addr (host side)."""
-        i = lookup(addr)
-        if kinds[i] == _LIN:
-            return b_at(infos[i] + addr - starts[i])
-        return b_at(infos[i] + ((addr - anchors[i]) % periods[i]))
-
-    def copy_resolved(s0: int, ln: int, delta: int) -> None:
-        """Emit out[s0+delta : s0+delta+ln) = out[s0 : s0+ln) by
-        fragmenting the (already resolved) source range through the map.
-
-        Fragmentation heals itself: when the source range crosses many
-        map entries (granularity decay on copy-of-copy chains), the
-        bytes are materialized once into the mirror region of B and the
-        copy becomes a single linear piece whose new map entry is
-        coarse — later copies of this output see one entry, not many.
-        """
-        nonlocal pat_used
-        s1 = s0 + ln
-        i0 = lookup(s0)
-        i1 = lookup(s1 - 1)
-        frags = i1 - i0 + 1
-        if (frags > max(2, ln // 32)
-                and pat_used + ln <= PAT_ROWS * VEC):
-            mb = pat_base0 + pat_used
-            for j in range(ln):
-                pat[pat_used + j] = resolve_read(s0 + j)
-            pat_used += ln
-            emit_linear(mb, s0 + delta, ln)
-            add_entry(s0 + delta, s1 + delta, _LIN, mb)
-            return
-        x = s0
-        while x < s1:
-            i = lookup(x)
-            take = min(s1, ends[i]) - x
-            dd = x + delta
-            if kinds[i] == _LIN:
-                b = infos[i] + x - starts[i]
-                emit_linear(b, dd, take)
-                add_entry(dd, dd + take, _LIN, b)
-            else:
-                pb, p = infos[i], periods[i]
-                anc = anchors[i] + delta
-                emit_periodic(pb, p, anc, dd, take)
-                add_entry(dd, dd + take, _PER, pb, p, anc)
-            x += take
+    def flush_run() -> bool:
+        nonlocal run_start, mirror_used
+        if run_start < 0:
+            return True
+        ln = run_end - run_start
+        if mirror_used + ln > PAT_ROWS * VEC:
+            return False
+        pat[mirror_used : mirror_used + ln] = dec[run_start:run_end]
+        emit_linear(pat_base0 + mirror_used, run_start, ln)
+        mirror_used += ln
+        run_start = -1
+        return True
 
     for t in range(n_tags):
-        kind, out_len, arg, out_start = (
-            int(recs[t, 0]), int(recs[t, 1]), int(recs[t, 2]), int(recs[t, 3])
-        )
-        if kind == 0:  # literal: comp bytes at arg
-            b = COMP_BASE + arg
-            emit_linear(b, out_start, out_len)
-            add_entry(out_start, out_start + out_len, _LIN, b)
+        kind, L, arg, d = (int(recs[t, 0]), int(recs[t, 1]),
+                           int(recs[t, 2]), int(recs[t, 3]))
+        b_direct = -1
+        if kind == 0:
+            lit_s.append(d)
+            lit_e.append(d + L)
+            lit_a.append(arg)
+            if L >= DIRECT_T:
+                b_direct = COMP_BASE + arg
+        elif L >= DIRECT_T:
+            s0 = d - arg
+            i = bisect.bisect_right(lit_s, s0) - 1
+            if i >= 0 and lit_e[i] >= s0 + L:
+                b_direct = COMP_BASE + lit_a[i] + (s0 - lit_s[i])
+        if b_direct >= 0:
+            if not flush_run():
+                return None
+            emit_linear(b_direct, d, L)
         else:
-            off = arg
-            d = out_start
-            L = out_len
-            s0 = d - off  # source start (range may overlap d when off < L)
-            if off >= L:
-                copy_resolved(s0, L, off)
-            else:
-                # overlapping copy: output periodic with period off
-                i0 = lookup(s0)
-                if (i0 == lookup(d - 1) and kinds[i0] == _PER
-                        and off % periods[i0] == 0):
-                    # source wholly inside one periodic entry AND the
-                    # offset is a multiple of its period: the period-p
-                    # structure continues through the self-referencing
-                    # region, so reuse the pattern with the anchor
-                    # shifted by off.  (For off % p != 0 the output's
-                    # true period is off, NOT p — reusing would be
-                    # wrong for j >= off.)
-                    pb, p, anc = infos[i0], periods[i0], anchors[i0] + off
-                    emit_periodic(pb, p, anc, d, L)
-                    add_entry(d, d + L, _PER, pb, p, anc)
-                elif off <= PAT_PERIOD_MAX and pat_used + 2 * VEC <= PAT_ROWS * VEC:
-                    # materialize the pattern once, extended to 256 B so
-                    # pieces stay linear; chained copies whose source
-                    # stays inside this run reuse it via the branch above
-                    pb = pat_base0 + pat_used
-                    for j in range(off):
-                        pat[pat_used + j] = resolve_read(s0 + j)
-                    seg = pat[pat_used : pat_used + off]
-                    reps = (2 * VEC + off - 1) // off
-                    pat[pat_used : pat_used + 2 * VEC] = np.tile(seg, reps)[: 2 * VEC]
-                    pat_used += 2 * VEC
-                    emit_periodic(pb, off, s0, d, L)
-                    add_entry(d, d + L, _PER, pb, off, s0)
-                else:
-                    # pattern budget exhausted: offset-doubling, each
-                    # piece's source already resolved when emitted
-                    cur_off, d2, rem = off, d, L
-                    while rem > 0:
-                        ln = min(cur_off, rem)
-                        copy_resolved(d2 - cur_off, ln, cur_off)
-                        d2 += ln
-                        rem -= ln
-                        cur_off += ln
+            if run_start < 0:
+                run_start = d
+            elif run_end != d:  # non-contiguous (cannot happen: tags tile)
+                if not flush_run():
+                    return None
+                run_start = d
+            run_end = d + L
         if piece_cap is not None and len(pieces) > piece_cap:
             return None
+    if not flush_run():
+        return None
+    if piece_cap is not None and len(pieces) > piece_cap:
+        return None
 
     return np.array(pieces, dtype=np.int32).reshape(-1, 3), pat
+
 
 
 # B-word valid bit: pad lanes have it clear, so their mask selects
@@ -363,11 +298,11 @@ def execute_flat_np(meta: np.ndarray, starts: np.ndarray, n_trips: int,
     return out[:dst_len]
 
 
-def build_b_bytes(comp: np.ndarray, patterns: np.ndarray, rb: int) -> np.ndarray:
-    """Host-side B buffer: pad row + comp + patterns + guard."""
+def build_b_bytes(comp: np.ndarray, mirror: np.ndarray, rb: int) -> np.ndarray:
+    """Host-side B buffer: pad row + comp + mirror + guard."""
     b = np.zeros(rb * VEC, dtype=np.uint8)
     b[VEC : VEC + len(comp)] = comp
-    b[VEC + len(comp) : VEC + len(comp) + len(patterns)] = patterns
+    b[VEC + len(comp) : VEC + len(comp) + len(mirror)] = mirror
     return b
 
 
@@ -418,7 +353,7 @@ def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool):
 
 
 def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
-                 *, use_take: bool, out_rows: int):
+                 *, use_take: bool, out_rows: int, group: int):
     # Formulation constraints (measured, tools/mosaic_probe9/10/12/13):
     # B is i32 in VMEM (8-sublane tile -> arbitrary dynamic window
     # starts compile; bf16 refs with unaligned dyn starts do not),
@@ -429,56 +364,64 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
     # per-subpanel (the (128,512) one-hot compose is rejected in situ).
     # The 7-step barrel shifters of the 4 subpanels are round-robined
     # so their serial roll chains overlap (probe13: 1.8x per trip).
+    # `group` blocks share one grid step: the ~8 us/step fixed cost
+    # (tools/mosaic_probe15.py — DMA-volume-independent) amortizes.
     blk = pl.program_id(0)
-    n = ntrips_ref[blk]
     lane_p = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 0)
-    out_ref[0, :, :] = jnp.zeros((out_rows, VEC), jnp.float32)
 
-    def body(i, c):
-        srow = starts_ref[0, pl.ds(i >> 5, 1), :]
-        sr = pltpu.roll(srow, shift=(VEC - ((i & 31) * NSUB)) & (VEC - 1),
-                        axis=1)
-        mrow = meta_ref[0, pl.ds(2 * NSUB * i, 2 * NSUB), :]
-        vs, rots, masks, drels, Ds = [], [], [], [], []
-        for s in range(NSUB):
-            w = sr[0, s]
-            S = w & 1023
-            Ds.append(jax.lax.shift_right_logical(w, 10) * VEC)
-            bwin = b_ref[0, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
-            v, rot, mask, drel = _subpanel_gather(
-                mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
-                bwin, lane_p, use_take)
-            vs.append(v)
-            rots.append(rot)
-            masks.append(mask)
-            drels.append(drel)
-        if not use_take:
-            # interleaved barrel shifters: independent chains overlap
-            for k in range(7):
-                for s in range(NSUB):
-                    bit = (jax.lax.shift_right_logical(rots[s], k) & 1) == 1
-                    vs[s] = jnp.where(
-                        bit, pltpu.roll(vs[s], shift=1 << k, axis=1), vs[s])
-        for s in range(NSUB):
-            mk = jnp.where(masks[s], vs[s], 0.0)
-            # one-hot compose matmul scatters the 128 masked piece rows
-            # into the subpanel's 128-row destination bin; disjoint
-            # destination bytes keep the f32 accumulation exact
-            ds_t = (row_iota == drels[s]).astype(jnp.bfloat16)
-            contrib = jax.lax.dot_general(
-                ds_t, mk.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            out_ref[0, pl.ds(Ds[s], VEC), :] += contrib
-        return c
+    for g in range(group):
+        n = ntrips_ref[blk * group + g]
+        out_ref[g, :, :] = jnp.zeros((out_rows, VEC), jnp.float32)
 
-    jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        def body(i, c, g=g):
+            srow = starts_ref[g, pl.ds(i >> 5, 1), :]
+            sr = pltpu.roll(srow, shift=(VEC - ((i & 31) * NSUB)) & (VEC - 1),
+                            axis=1)
+            mrow = meta_ref[g, pl.ds(2 * NSUB * i, 2 * NSUB), :]
+            vs, rots, masks, drels, Ds = [], [], [], [], []
+            for s in range(NSUB):
+                w = sr[0, s]
+                S = w & 1023
+                Ds.append(jax.lax.shift_right_logical(w, 10) * VEC)
+                bwin = b_ref[g, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
+                v, rot, mask, drel = _subpanel_gather(
+                    mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
+                    bwin, lane_p, use_take)
+                vs.append(v)
+                rots.append(rot)
+                masks.append(mask)
+                drels.append(drel)
+            if not use_take:
+                # interleaved barrel shifters: independent chains overlap
+                for k in range(7):
+                    for s in range(NSUB):
+                        bit = (jax.lax.shift_right_logical(rots[s], k) & 1) == 1
+                        vs[s] = jnp.where(
+                            bit, pltpu.roll(vs[s], shift=1 << k, axis=1), vs[s])
+            for s in range(NSUB):
+                mk = jnp.where(masks[s], vs[s], 0.0)
+                # one-hot compose matmul scatters the 128 masked piece rows
+                # into the subpanel's 128-row destination bin; disjoint
+                # destination bytes keep the f32 accumulation exact
+                ds_t = (row_iota == drels[s]).astype(jnp.bfloat16)
+                contrib = jax.lax.dot_general(
+                    ds_t, mk.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out_ref[g, pl.ds(Ds[s], VEC), :] += contrib
+            return c
+
+        jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+
+GROUP = 4  # blocks per grid step (amortizes the ~8 us/step fixed cost)
 
 
 def decode_blocks_flat(b_u8, meta, starts, ntrips, dst_max: int,
                        interpret: bool | None = None,
                        use_take: bool = False,
-                       out_rows: int = OUT_ROWS):
+                       out_rows: int = OUT_ROWS,
+                       group: int | None = None):
     """Execute packed flat plans on device.
 
     b_u8: uint8[B, rb*128] host-built B buffers (build_b_bytes), or
@@ -488,19 +431,22 @@ def decode_blocks_flat(b_u8, meta, starts, ntrips, dst_max: int,
     ntrips: int32[B].  Returns uint8[B, dst_max].  out_rows sizes the
     device output panel (decode: OUT_ROWS; the flat-encode emission
     path passes a larger panel for worst-case compressed lengths).
+    group blocks share one grid step (padded with empty plans).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if group is None:
+        group = GROUP
     return _flat_jit(b_u8, meta, starts, ntrips, dst_max=dst_max,
                      interpret=interpret, use_take=use_take,
-                     out_rows=out_rows)
+                     out_rows=out_rows, group=group)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dst_max", "interpret", "use_take",
-                                    "out_rows"))
+                                    "out_rows", "group"))
 def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
-              use_take: bool, out_rows: int):
+              use_take: bool, out_rows: int, group: int):
     if b_u8.ndim == 3:  # pre-cast int32 (B, rb, VEC)
         b_i32 = b_u8
         B, rb, _ = b_u8.shape
@@ -509,27 +455,35 @@ def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
         rb = nbytes // VEC
         b_i32 = b_u8.astype(jnp.int32).reshape(B, rb, VEC)
     nmr = meta.shape[1]
+    Bp = (B + group - 1) // group * group
+    if Bp != B:  # pad with empty plans (ntrips 0)
+        pad = ((0, Bp - B), (0, 0), (0, 0))
+        b_i32 = jnp.pad(b_i32, pad)
+        meta = jnp.pad(meta, pad)
+        starts = jnp.pad(starts, pad)
+        ntrips = jnp.pad(ntrips, ((0, Bp - B),))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(Bp // group,),
         in_specs=[
-            pl.BlockSpec((1, rb, VEC), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((group, rb, VEC), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, VEC), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((group, 8, VEC), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nmr, VEC), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((group, nmr, VEC), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, out_rows, VEC), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((group, out_rows, VEC),
+                               lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out3 = pl.pallas_call(
         functools.partial(_flat_kernel, use_take=use_take,
-                          out_rows=out_rows),
+                          out_rows=out_rows, group=group),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, out_rows, VEC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, out_rows, VEC), jnp.float32),
         interpret=interpret,
     )(ntrips, b_i32, starts, meta)
     # one cast pass: the f32 panel holds exact integers 0..255
-    out = out3.astype(jnp.uint8).reshape(B, out_rows * VEC)
-    return out[:, :dst_max]
+    out = out3.astype(jnp.uint8).reshape(Bp, out_rows * VEC)
+    return out[:B, :dst_max]

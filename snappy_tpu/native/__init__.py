@@ -111,6 +111,8 @@ def _load():
         lib.sn_plan_waves.argtypes = [
             i32p, ctypes.c_uint64, i32p, ctypes.c_uint64,
         ]
+        lib.sn_set_direct_t.restype = None
+        lib.sn_set_direct_t.argtypes = [ctypes.c_int]
         lib.sn_plan_flat.restype = ctypes.c_int64
         lib.sn_plan_flat.argtypes = [
             i32p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int64,
@@ -211,6 +213,13 @@ def plan_waves(rec: np.ndarray, n_tags: int, words: np.ndarray) -> int | None:
     if rc < 0:
         _raise(int(rc))
     return int(rc)
+
+
+def set_direct_t(t: int) -> None:
+    """Set the flat planner's direct-gather threshold (default 32
+    mirrors kernels.decode_flat.DIRECT_T; 0 sends everything through
+    the mirror).  Experiments/tests only."""
+    _load().sn_set_direct_t(t)
 
 
 def plan_flat(

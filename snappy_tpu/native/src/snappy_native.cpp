@@ -653,7 +653,7 @@ int64_t sn_plan_waves(const int32_t* rec, uint64_t n_tags, int32_t* words,
 //   rb:     rows of the device B buffer (kernels.decode_flat.rows_b_for)
 //   meta:   int32[2*4*trip_cap * 128]   out, zeroed here
 //   starts: int32[8 * 128]              out, zeroed here
-//   pat:    uint8[256 * 128]            out, zeroed here
+//   pat:    uint8[kPatRows * 128]       out, zeroed here
 // Returns the trip count, or SN_ERR_BUFFER when piece_cap/trip_cap is
 // exceeded (caller falls back to the wave engine).
 
@@ -661,134 +661,13 @@ namespace flatplan {
 static const int kVec = 128;
 static const int kNsub = 4;
 static const int kWRows = 128;
-static const int kPatRows = 256;
+static const int kPatRows = 512;
+static int g_direct_t = 32;  // sn_set_direct_t (experiments/tests)
 static const int kPatPeriodMax = 63;
 static const int32_t kValid = 1 << 21;
 
 struct Piece {
   int32_t b, dst, len;
-};
-
-struct Planner {
-  const uint8_t* comp;
-  int64_t comp_len;
-  int64_t pat_base0;   // B address of pat[0]
-  uint8_t* pat;        // kPatRows * kVec bytes
-  int64_t pat_used = 0;
-  std::vector<Piece> pieces;
-  // resolved map (parallel arrays, starts ascending)
-  std::vector<int64_t> starts, infos, ends;
-  std::vector<int32_t> kinds, periods;
-  std::vector<int64_t> anchors;
-  // O(1) lookup: btop[b] = index of the last entry starting in bucket
-  // <= b (64-byte buckets over the 64 KiB output); cur_b = last bucket
-  // any entry starts in.  Entry starts are strictly increasing, so the
-  // table fills left to right as entries append.
-  int32_t btop[1088];
-  int64_t cur_b = -1;
-
-  uint8_t b_at(int64_t addr) const {
-    if (addr < kVec) return 0;
-    if (addr < pat_base0) return comp[addr - kVec];
-    return pat[addr - pat_base0];
-  }
-  size_t lookup(int64_t x) const {
-    int64_t b = x >> 6;
-    size_t i = (b >= cur_b) ? starts.size() - 1 : (size_t)btop[b];
-    while (starts[i] > x) i--;
-    return i;
-  }
-  uint8_t resolve_read(int64_t addr) const {
-    size_t i = lookup(addr);
-    if (kinds[i] == 0) return b_at(infos[i] + addr - starts[i]);
-    return b_at(infos[i] + ((addr - anchors[i]) % periods[i]));
-  }
-  void add_entry(int64_t s, int64_t e, int32_t kind, int64_t info,
-                 int32_t period = 1, int64_t anchor = 0) {
-    int64_t bs = s >> 6;
-    int32_t idx = (int32_t)starts.size();
-    for (int64_t b = cur_b + 1; b <= bs; b++) btop[b] = idx - 1;
-    if (bs > cur_b) cur_b = bs;
-    btop[bs] = idx;
-    starts.push_back(s);
-    kinds.push_back(kind);
-    infos.push_back(info);
-    periods.push_back(period);
-    anchors.push_back(anchor);
-    ends.push_back(e);
-  }
-  // Bulk resolve_read of [s0, s0+ln) into dst: walks map fragments once
-  // and reads each fragment's source directly (byte-identical to ln
-  // resolve_read calls; the per-byte binary search was the planner's
-  // measured hot spot).
-  void materialize(int64_t s0, int64_t ln, uint8_t* dst) const {
-    int64_t x = s0, s1 = s0 + ln;
-    while (x < s1) {
-      size_t i = lookup(x);
-      int64_t take = (s1 < ends[i] ? s1 : ends[i]) - x;
-      if (kinds[i] == 0) {
-        int64_t a = infos[i] + x - starts[i];
-        for (int64_t j = 0; j < take; j++) dst[j] = b_at(a + j);
-      } else {
-        int64_t p = periods[i];
-        int64_t ph = (x - anchors[i]) % p;
-        for (int64_t j = 0; j < take; j++)
-          dst[j] = b_at(infos[i] + ((ph + j) % p));
-      }
-      dst += take;
-      x += take;
-    }
-  }
-  void emit_linear(int64_t b, int64_t dst, int64_t ln) {
-    while (ln > 0) {
-      int64_t take = kVec - (dst & (kVec - 1));
-      if (take > ln) take = ln;
-      pieces.push_back({(int32_t)b, (int32_t)dst, (int32_t)take});
-      b += take;
-      dst += take;
-      ln -= take;
-    }
-  }
-  void emit_periodic(int64_t pat_b, int64_t p, int64_t anchor, int64_t dst,
-                     int64_t ln) {
-    while (ln > 0) {
-      int64_t take = kVec - (dst & (kVec - 1));
-      if (take > ln) take = ln;
-      int64_t b = pat_b + ((dst - anchor) % p);
-      pieces.push_back({(int32_t)b, (int32_t)dst, (int32_t)take});
-      dst += take;
-      ln -= take;
-    }
-  }
-  void copy_resolved(int64_t s0, int64_t ln, int64_t delta) {
-    int64_t s1 = s0 + ln;
-    size_t i0 = lookup(s0), i1 = lookup(s1 - 1);
-    int64_t frags = (int64_t)(i1 - i0) + 1;
-    int64_t heal_at = ln / 32 > 2 ? ln / 32 : 2;
-    if (frags > heal_at && pat_used + ln <= (int64_t)kPatRows * kVec) {
-      int64_t mb = pat_base0 + pat_used;
-      materialize(s0, ln, pat + pat_used);
-      pat_used += ln;
-      emit_linear(mb, s0 + delta, ln);
-      add_entry(s0 + delta, s1 + delta, 0, mb);
-      return;
-    }
-    int64_t x = s0;
-    while (x < s1) {
-      size_t i = lookup(x);
-      int64_t take = (s1 < ends[i] ? s1 : ends[i]) - x;
-      int64_t dd = x + delta;
-      if (kinds[i] == 0) {
-        int64_t b = infos[i] + x - starts[i];
-        emit_linear(b, dd, take);
-        add_entry(dd, dd + take, 0, b);
-      } else {
-        emit_periodic(infos[i], periods[i], anchors[i] + delta, dd, take);
-        add_entry(dd, dd + take, 1, infos[i], periods[i], anchors[i] + delta);
-      }
-      x += take;
-    }
-  }
 };
 
 // Shared packer: stable counting sort on (dst bin, source row), greedy
@@ -855,6 +734,10 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
 }
 }  // namespace flatplan
 
+// Direct-gather threshold knob (experiments/tests; default 32 mirrors
+// kernels.decode_flat.DIRECT_T, 0 sends everything through the mirror).
+void sn_set_direct_t(int t) { flatplan::g_direct_t = t; }
+
 int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
                      uint64_t comp_len, int64_t rb, int64_t trip_cap,
                      int64_t piece_cap, int32_t* meta, int32_t* starts_out,
@@ -866,75 +749,106 @@ int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
   memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
   memset(pat_out, 0, (size_t)kPatRows * kVec);
 
-  // reused across calls (vector allocation churn profiled at ~16% of
-  // plan time); thread_local so batched multi-thread planning is safe
-  static thread_local Planner P;
-  P.comp = comp;
-  P.comp_len = (int64_t)comp_len;
-  P.pat_base0 = kVec + (int64_t)comp_len;
-  P.pat = pat_out;
-  P.pat_used = 0;
-  P.cur_b = -1;
-  P.pieces.clear();
-  P.starts.clear();
-  P.infos.clear();
-  P.ends.clear();
-  P.kinds.clear();
-  P.periods.clear();
-  P.anchors.clear();
+  const int64_t out_end =
+      n_tags ? (int64_t)rec[4 * (n_tags - 1) + 3] + rec[4 * (n_tags - 1) + 1]
+             : 0;
 
+  // scratch decode: the stream is already validated (sn_parse_tags),
+  // replay it with a tight LZ loop (mirrors the np contract's replay)
+  static thread_local std::vector<uint8_t> dec_buf;
+  if ((int64_t)dec_buf.size() < out_end) dec_buf.resize((size_t)out_end);
+  uint8_t* dec = dec_buf.data();
   for (uint64_t t = 0; t < n_tags; t++) {
-    int32_t kind = rec[4 * t + 0];
-    int64_t out_len = rec[4 * t + 1];
-    int64_t arg = rec[4 * t + 2];
-    int64_t out_start = rec[4 * t + 3];
+    int64_t kind = rec[4 * t + 0], L = rec[4 * t + 1];
+    int64_t arg = rec[4 * t + 2], d = rec[4 * t + 3];
     if (kind == 0) {
-      int64_t b = kVec + arg;
-      P.emit_linear(b, out_start, out_len);
-      P.add_entry(out_start, out_start + out_len, 0, b);
+      memcpy(dec + d, comp + arg, (size_t)L);
+    } else if (arg >= L) {
+      memcpy(dec + d, dec + d - arg, (size_t)L);
     } else {
-      int64_t off = arg, d = out_start, L = out_len, s0 = d - off;
-      if (off >= L) {
-        P.copy_resolved(s0, L, off);
-      } else {
-        size_t i0 = P.lookup(s0);
-        // Pattern reuse is sound only when the copy offset is a
-        // multiple of the entry's period: for j >= off the output
-        // self-references with period off, which coincides with the
-        // period-p continuation iff p | off.
-        if (i0 == P.lookup(d - 1) && P.kinds[i0] == 1 &&
-            off % P.periods[i0] == 0) {
-          int64_t pb = P.infos[i0];
-          int32_t p = P.periods[i0];
-          int64_t anc = P.anchors[i0] + off;
-          P.emit_periodic(pb, p, anc, d, L);
-          P.add_entry(d, d + L, 1, pb, p, anc);
-        } else if (off <= kPatPeriodMax &&
-                   P.pat_used + 2 * kVec <= (int64_t)kPatRows * kVec) {
-          int64_t pb = P.pat_base0 + P.pat_used;
-          P.materialize(s0, off, P.pat + P.pat_used);
-          for (int64_t j = off; j < 2 * kVec; j++)
-            P.pat[P.pat_used + j] = P.pat[P.pat_used + j - off];
-          P.pat_used += 2 * kVec;
-          P.emit_periodic(pb, off, s0, d, L);
-          P.add_entry(d, d + L, 1, pb, (int32_t)off, s0);
-        } else {
-          int64_t cur_off = off, d2 = d, rem = L;
-          while (rem > 0) {
-            int64_t ln = cur_off < rem ? cur_off : rem;
-            P.copy_resolved(d2 - cur_off, ln, cur_off);
-            d2 += ln;
-            rem -= ln;
-            cur_off += ln;
-          }
-        }
+      // overlapping copy: extend the period-arg pattern by doubling;
+      // each memcpy starts at a multiple of arg, so phases line up
+      uint8_t* base = dec + d - arg;
+      int64_t have = arg, done = 0;
+      while (done < L) {
+        int64_t t2 = have < L - done ? have : L - done;
+        memcpy(dec + d + done, base, (size_t)t2);
+        done += t2;
+        have += t2;
       }
     }
-    if (piece_cap >= 0 && (int64_t)P.pieces.size() > piece_cap)
-      return SN_ERR_BUFFER;
   }
 
-  return pack(P.pieces, rb, trip_cap, meta, starts_out);
+  static thread_local std::vector<Piece> pieces;
+  static thread_local std::vector<int64_t> lit_s, lit_e, lit_a;
+  pieces.clear();
+  lit_s.clear();
+  lit_e.clear();
+  lit_a.clear();
+
+  const int64_t pat_base0 = kVec + (int64_t)comp_len;
+  int64_t mirror_used = 0;
+  int64_t run_start = -1, run_end = -1;
+
+  auto emit_linear = [&](int64_t b, int64_t dst, int64_t ln) {
+    while (ln > 0) {
+      int64_t take = kVec - (dst & (kVec - 1));
+      if (take > ln) take = ln;
+      pieces.push_back({(int32_t)b, (int32_t)dst, (int32_t)take});
+      b += take;
+      dst += take;
+      ln -= take;
+    }
+  };
+  auto flush_run = [&]() -> bool {
+    if (run_start < 0) return true;
+    int64_t ln = run_end - run_start;
+    if (mirror_used + ln > (int64_t)kPatRows * kVec) return false;
+    memcpy(pat_out + mirror_used, dec + run_start, (size_t)ln);
+    emit_linear(pat_base0 + mirror_used, run_start, ln);
+    mirror_used += ln;
+    run_start = -1;
+    return true;
+  };
+
+  for (uint64_t t = 0; t < n_tags; t++) {
+    int64_t kind = rec[4 * t + 0], L = rec[4 * t + 1];
+    int64_t arg = rec[4 * t + 2], d = rec[4 * t + 3];
+    int64_t b_direct = -1;
+    if (kind == 0) {
+      lit_s.push_back(d);
+      lit_e.push_back(d + L);
+      lit_a.push_back(arg);
+      if (L >= g_direct_t) b_direct = kVec + arg;
+    } else if (L >= g_direct_t) {
+      int64_t s0 = d - arg;
+      int64_t i =
+          (int64_t)(std::upper_bound(lit_s.begin(), lit_s.end(), s0) -
+                    lit_s.begin()) -
+          1;
+      if (i >= 0 && lit_e[i] >= s0 + L)
+        b_direct = kVec + lit_a[i] + (s0 - lit_s[i]);
+    }
+    if (b_direct >= 0) {
+      if (!flush_run()) return SN_ERR_BUFFER;
+      emit_linear(b_direct, d, L);
+    } else {
+      if (run_start < 0) {
+        run_start = d;
+      } else if (run_end != d) {  // non-contiguous (cannot happen: tags tile)
+        if (!flush_run()) return SN_ERR_BUFFER;
+        run_start = d;
+      }
+      run_end = d + L;
+    }
+    if (piece_cap >= 0 && (int64_t)pieces.size() > piece_cap)
+      return SN_ERR_BUFFER;
+  }
+  if (!flush_run()) return SN_ERR_BUFFER;
+  if (piece_cap >= 0 && (int64_t)pieces.size() > piece_cap)
+    return SN_ERR_BUFFER;
+
+  return pack(pieces, rb, trip_cap, meta, starts_out);
 }
 
 // Flat-plan encode-emission planner: derives dependency-free pieces

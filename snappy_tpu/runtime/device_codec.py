@@ -171,7 +171,7 @@ def _plan_pool():
 
 
 def _plan_tls():
-    """Per-thread planner scratch: (tag records, pattern buf, tag buf)."""
+    """Per-thread planner scratch: (tag records, mirror buf, tag buf)."""
     s = getattr(_plan_scratch, "bufs", None)
     if s is None:
         from snappy_tpu.kernels.decode_flat import PAT_ROWS

@@ -51,7 +51,7 @@ def _samples(rng):
         b"",
         b"x",
         b"Wikipedia" * 3,
-        b"a" * 5000,                      # offset-1 RLE -> one pattern
+        b"a" * 5000,                      # offset-1 RLE
         b"ab" * 8000,                     # offset-2 RLE
         rng.randbytes(4000),              # literal-only
         (b"abcdefgh" * 600)[:4500],
@@ -208,10 +208,11 @@ def test_native_planner_piece_cap(rng):
                             piece_cap=3) is None
 
 
-def test_pattern_budget_exhaustion_doubling_path(rng):
-    """>128 distinct overlapping-copy runs exhaust the 32 KiB pattern
-    budget; later runs take the offset-doubling path.  Bytes must stay
-    exact through both regimes, in np and in the C++ planner."""
+def test_many_distinct_overlapping_copy_runs(rng):
+    """300 distinct overlapping-copy runs (offsets 37..47) stress the
+    mirror path end to end.  Bytes must stay exact in np and in the C++
+    planner.  (Under planner v1 this exercised pattern-budget exhaustion;
+    kept as a black-box regression.)"""
     parts = []
     for k in range(300):
         pat = rng.randbytes(37 + (k % 11))
@@ -226,10 +227,10 @@ def test_pattern_budget_exhaustion_doubling_path(rng):
     assert (meta_c[: 8 * ntr] == meta[: 8 * ntr]).all()
 
 
-def test_copy_of_copy_chain_healing(rng):
-    """Deep copy-of-copy chains fragment the resolved map; the healing
-    path re-materializes them.  seed data -> repeat -> re-copy slices
-    with growing offsets."""
+def test_copy_of_copy_chains(rng):
+    """Deep copy-of-copy chains with growing offsets: under planner v2
+    these all ride mirrored runs resolved from the scratch decode.  seed
+    data -> repeat -> re-copy slices with growing offsets."""
     base = rng.randbytes(997)
     data = bytearray(base)
     while len(data) < 60000:
@@ -294,11 +295,13 @@ def test_native_planner_threaded_consistency(rng):
 
 
 def test_overlapping_copy_into_mismatched_period_run(rng):
-    """Regression: an overlapping copy whose SOURCE lies inside a
-    periodic entry but whose offset is NOT a multiple of that entry's
-    period (here off=4 into a period-7 run).  The reuse branch used to
-    keep period 7; the true output self-references with period 4.
-    Found as 3/768 corpus blocks decoding wrong on TPU."""
+    """Regression: an overlapping copy whose SOURCE lies inside an
+    earlier periodic run but whose offset is NOT a multiple of that
+    run's period (here off=4 into a period-7 run).  Planner v1's
+    pattern-reuse branch kept period 7; the true output self-references
+    with period 4.  Found as 3/768 corpus blocks decoding wrong on TPU;
+    v2 replays the scratch decode so the case is structural, but the
+    black-box check stays."""
     comp = np.frombuffer(b"and of ", np.uint8)
     recs = np.array([
         [0, 7, 0, 0],    # literal "and of " at 0

@@ -97,6 +97,80 @@ def test_pallas_interpret_equals_host_encoder(rng):
         assert bytes(out[i][: len(c)]) == c, f"case {i}"
 
 
+def test_inline_retry_on_tag_budget(rng):
+    """~1900 distinct 24 B literals + copies overflow the 32 KiB tag
+    buffer with inlining on (1900*25 B > cap); the planner must retry
+    with inlining off and still replay exactly."""
+    parts = []
+    for k in range(1900):
+        parts.append(rng.randbytes(24))   # unique literal
+        parts.append(b"abcd" * 2)         # copyable filler
+    block = b"".join(parts)[:60000]
+    c, meta, starts, ntr, tagbuf, tag_used = _plan_enc(block)
+    assert tag_used <= TAG_ROWS * VEC
+    bb = build_b_enc(np.frombuffer(block, np.uint8), tagbuf, tag_used)
+    assert replay_enc_np(meta, starts, ntr, bb, len(c)).tobytes() == c
+
+
+def test_trip_cap_fallback_runtime_roundtrip(rng, monkeypatch):
+    """Blocks whose plans exceed the encode caps must flow through the
+    runtime's host-emission fallback transparently (the production
+    compress path stays byte-correct)."""
+    import snappy_tpu.kernels.encode_flat as EF
+    from snappy_tpu.runtime import device_codec
+
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    # squeeze the cap so ordinary plans overflow -> fallback per chunk
+    monkeypatch.setattr(EF, "ENC_TRIP_CAP", 1)
+    data = (open("/root/repo/README.md", "rb").read() * 6)[:150000]
+    blob = device_codec.compress_framed(data)
+    assert device_codec.decompress_framed(blob) == data
+
+
+def test_small_chunk_sizes_through_flat(rng, monkeypatch):
+    """chunk_size < 64 KiB uses the same SRC span (zero padded); the
+    production framed path must stay exact for every size."""
+    from snappy_tpu.runtime import device_codec
+
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    data = rng.randbytes(3000) + b"pad" * 4000 + bytes(5000)
+    for cs in (512, 1024, 65536):
+        blob = device_codec.compress_framed(data, chunk_size=cs)
+        assert device_codec.decompress_framed(blob) == data, cs
+
+
+def test_incompressible_chunks_stay_uncompressed_type(rng, monkeypatch):
+    """Random chunks must still be emitted as uncompressed chunk type
+    (the framed assembly sizes the flat emission against the raw
+    chunk)."""
+    from snappy_tpu.runtime import device_codec
+    from snappy_tpu.spec.framing import CHUNK_UNCOMPRESSED
+
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    data = rng.randbytes(130000)
+    blob = device_codec.compress_framed(data)
+    assert device_codec.decompress_framed(blob) == data
+    # first chunk after the stream id must be type 0x01 (uncompressed)
+    assert blob[10] == CHUNK_UNCOMPRESSED
+
+
+def test_flat_engine_checksum_error(rng, monkeypatch):
+    """A valid structure with a flipped CRC must surface ChecksumError
+    through the flat decode engine's device-CRC path."""
+    from snappy_tpu.errors import ChecksumError
+    from snappy_tpu.runtime import device_codec
+
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    data = b"checksum probe " * 5000
+    blob = bytearray(device_codec.compress_framed(data))
+    blob[14] ^= 0x01  # CRC field of the first chunk (header 10 + 4)
+    try:
+        device_codec.decompress_framed(bytes(blob))
+        raise AssertionError("corrupt CRC accepted")
+    except ChecksumError:
+        pass
+
+
 def test_plan_piece_cap_returns_none(rng):
     block = rng.randbytes(65536)
     c = native.compress(block)

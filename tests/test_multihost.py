@@ -69,6 +69,32 @@ def test_host_decompress_parity(rng):
         assert bytes(out) == data
 
 
+def test_two_host_parity_flat_engines(rng, monkeypatch):
+    """Config-5 parity with the TPU engines forced: per-host compress
+    assembly and decompress ranges must stay bit-identical when the
+    production engines (interpret mode here) do the work."""
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    data = (b"flat multihost " * 4000)[:50000] + rng.randbytes(40000)
+    single = device_codec.compress_framed(data)
+
+    ranges = multihost.plan_ranges(len(data), 2)
+    parts = []
+    for start, cnt in ranges:
+        lo = start * 65536
+        hi = min(len(data), (start + cnt) * 65536)
+        bodies, _ = multihost.host_compress_framed(data[lo:hi], start)
+        parts.append(b"".join(bodies))
+    assert bytes(STREAM_ID_CHUNK) + b"".join(parts) == single
+
+    # decompress side: each host decodes its chunk range
+    out = bytearray(len(data))
+    for pid in range(2):
+        base, blob, total, _ = multihost.host_decompress_framed(single, pid, 2)
+        assert total == len(data)
+        out[base : base + len(blob)] = blob
+    assert bytes(out) == data
+
+
 def test_host_decompress_detects_corruption(rng):
     from snappy_tpu.errors import ChecksumError, CorruptError
 
