@@ -69,8 +69,10 @@ VEC = 128
 NSUB = 4             # subpanels per device loop trip
 PANEL = NSUB * VEC   # pieces per trip
 W_ROWS = 128         # source window rows per subpanel (static slice width)
-PAT_ROWS = 512       # mirror side-buffer rows (64 KiB: runs are disjoint
-                     # ascending output ranges, so one block bounds it)
+PAT_ROWS = 576       # mirror side-buffer rows: disjoint ascending runs
+                     # bound the data at one block (512 rows); the extra
+                     # 64 rows absorb the phase-alignment pads (<= 127 B
+                     # per run) so big runs can still align
 OUT_ROWS = 520       # 64 KiB output + slack, multiple of 8
 TRIP_CAP = 96        # device trips per block (fallback past this)
 
@@ -151,6 +153,14 @@ def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
         if run_start < 0:
             return True
         ln = run_end - run_start
+        # phase-align the run in the mirror: pad so the mirror address
+        # is congruent to the destination mod 128.  Every piece of the
+        # run then has rot == 0, which lets the kernel route it through
+        # the roll-free trip class (the 7-step barrel shifter is the
+        # dominant per-trip latency).
+        pad = (run_start - (pat_base0 + mirror_used)) % VEC
+        if pad <= ln and mirror_used + pad + ln <= PAT_ROWS * VEC:
+            mirror_used += pad  # best-effort: tiny runs stay unaligned
         if mirror_used + ln > PAT_ROWS * VEC:
             return False
         pat[mirror_used : mirror_used + ln] = dec[run_start:run_end]
@@ -203,7 +213,8 @@ _VALID = 1 << 21
 
 
 def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
-    """Sort pieces by (dst bin, source row) and pack them into trips.
+    """Sort pieces by (rot class, dst bin, source row) and pack them
+    into trips.
 
     A trip holds NSUB subpanels of up to 128 pieces.  Each subpanel
     reads one dynamically-placed W_ROWS-row window of B (all its
@@ -211,12 +222,22 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
     into one 128-row destination bin (drow>>7 equal across the
     subpanel), which keeps the compose matmul and its one-hot small.
 
+    Trips are CLASS-HOMOGENEOUS: pieces with rot != 0 pack into the
+    leading trips, rot == 0 pieces (phase-aligned mirror runs — the
+    planner aligns them on purpose) into the trailing trips, padded to
+    a trip boundary between the classes.  The kernel runs the trailing
+    trips through a roll-free body (no barrel shifter, no second row
+    gather) — the dominant per-trip latency removed for the aligned
+    majority.
+
     Returns (meta int32[2*NSUB*trip_cap, 128], starts int32[8, 128],
-    n_trips) or None if more than trip_cap trips are needed.  Layout:
-    trip t rows [2*NSUB*t .. +NSUB) hold the A words of subpanels 0..3
-    (qrel | rot<<7), rows [.. +2*NSUB) the B words (dphi | lenm1<<7 |
-    drel<<14 | _VALID); subpanel s's packed (S | dbin<<10) word lives
-    at starts[t>>5, (t&31)*4+s].
+    packed) or None if more than trip_cap trips are needed, where
+    packed = n_trips | (n_aligned_trips << 16).  A plain trip count
+    (high bits 0) therefore stays valid — every trip takes the full
+    body.  Layout: trip t rows [2*NSUB*t .. +NSUB) hold the A words of
+    subpanels 0..3 (qrel | rot<<7), rows [.. +2*NSUB) the B words
+    (dphi | lenm1<<7 | drel<<14 | _VALID); subpanel s's packed
+    (S | dbin<<10) word lives at starts[t>>5, (t&31)*4+s].
     """
     P = len(pieces)
     meta = np.zeros((2 * NSUB * trip_cap, VEC), dtype=np.int32)
@@ -235,14 +256,19 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
     rot = (VEC - (base & (VEC - 1))) & (VEC - 1)
     drow = dst >> 7
     dbin = drow >> 7
+    cls = (rot == 0).astype(np.int32)  # rot pieces first, aligned last
 
-    order = np.lexsort((q, dbin))
+    order = np.lexsort((q, dbin, cls))
     q_s = q[order]
     dbin_s = dbin[order]
+    R = int(P - cls.sum())  # index of the first aligned piece
 
     n_sub = 0
+    rot_subs = 0
     i = 0
     while i < P:
+        if i == R and n_sub % NSUB:  # class boundary: pad to a trip
+            n_sub += NSUB - n_sub % NSUB
         t, s = divmod(n_sub, NSUB)
         if t >= trip_cap:
             return None
@@ -250,7 +276,9 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
         if S + W_ROWS > rb:
             S = rb - W_ROWS
         bn = int(dbin_s[i])
-        bin_end = int(np.searchsorted(dbin_s, bn, side="right"))
+        cls_end = R if i < R else P
+        # dbin ascends only within a class segment
+        bin_end = i + int(np.searchsorted(dbin_s[i:cls_end], bn, side="right"))
         j = min(i + VEC, P, bin_end)
         # shrink subpanel until every piece's row pair fits the window
         while j > i and int(q_s[j - 1]) - S > W_ROWS - 2:
@@ -266,17 +294,23 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
         meta[2 * NSUB * t + NSUB + s, :k] = b_words
         starts[t >> 5, (t & 31) * 4 + s] = S | (bn << 10)
         n_sub += 1
+        if i < R:
+            rot_subs = n_sub
         i = j
-    return meta, starts, (n_sub + NSUB - 1) // NSUB
+    n_trips = (n_sub + NSUB - 1) // NSUB
+    n_aligned = n_trips - (rot_subs + NSUB - 1) // NSUB
+    return meta, starts, n_trips | (n_aligned << 16)
 
 
 def execute_flat_np(meta: np.ndarray, starts: np.ndarray, n_trips: int,
                     b_bytes: np.ndarray, dst_len: int,
                     out_rows: int = OUT_ROWS) -> np.ndarray:
     """Numpy contract: replay a packed plan exactly as the kernel does
-    (trip-ordered, piece-ordered; disjoint writes)."""
+    (trip-ordered, piece-ordered; disjoint writes).  n_trips may carry
+    the aligned-trip count in its high bits (pack_trips) — the replay
+    is class-agnostic (rot == 0 rotates by nothing)."""
     out = np.zeros(out_rows * VEC, dtype=np.uint8)
-    for t in range(n_trips):
+    for t in range(n_trips & 0xFFFF):
         for s in range(NSUB):
             w = int(starts[t >> 5, (t & 31) * 4 + s])
             S = w & 1023
@@ -317,10 +351,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool):
-    """One 128-piece subpanel's one-hot row-pair gather + pre-shift
-    merge.  Returns (v (128,128) f32 unrotated [or rotated when
-    use_take], rot col, mask, drel (1,128))."""
+def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool,
+                     aligned: bool = False):
+    """One 128-piece subpanel's one-hot row gather + pre-shift merge.
+    Returns (v (128,128) f32 unrotated [or rotated when use_take],
+    rot col, mask, drel (1,128)).  aligned=True asserts every piece has
+    rot == 0 (pack_trips' trailing trip class): the second row gather
+    and the phase select are skipped entirely."""
     a_col = jnp.transpose(mrow_a, (1, 0))            # (128,1)
     b_col = jnp.transpose(mrow_b, (1, 0))
     qrel = a_col & 127
@@ -330,11 +367,14 @@ def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool):
     valid = (b_col & _VALID) != 0
     drel = jax.lax.shift_right_logical(mrow_b, 14) & 127   # (1,128)
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (VEC, W_ROWS), 1)
-    # one-hot row gather of every piece's source row pair (MXU)
+    # one-hot row gather of every piece's source row (pair) (MXU)
     rs0 = (lane_w == qrel).astype(jnp.bfloat16)
-    rs1 = (lane_w == qrel + 1).astype(jnp.bfloat16)
     u0 = jax.lax.dot_general(rs0, bwin_bf, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    mask = valid & (lane_p >= dphi) & (lane_p - dphi <= lenm1)
+    if aligned:
+        return u0, rot, mask, drel
+    rs1 = (lane_w == qrel + 1).astype(jnp.bfloat16)
     u1 = jax.lax.dot_general(rs1, bwin_bf, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     phi = (VEC - rot) & (VEC - 1)
@@ -348,7 +388,6 @@ def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool):
         v = jnp.where(phi + lane_p < VEC, t0, t1)
     else:
         v = jnp.where(lane_p >= phi, u0, u1)
-    mask = valid & (lane_p >= dphi) & (lane_p - dphi <= lenm1)
     return v, rot, mask, drel
 
 
@@ -371,47 +410,59 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 0)
 
     for g in range(group):
-        n = ntrips_ref[blk * group + g]
+        word = ntrips_ref[blk * group + g]
+        n = word & 0xFFFF
+        # leading trips carry rot != 0 pieces (full body); trailing
+        # trips are phase-aligned (roll-free body) — pack_trips packs
+        # the classes into disjoint trips on purpose
+        n_rot = n - (jax.lax.shift_right_logical(word, 16) & 0xFFFF)
         out_ref[g, :, :] = jnp.zeros((out_rows, VEC), jnp.float32)
 
-        def body(i, c, g=g):
-            srow = starts_ref[g, pl.ds(i >> 5, 1), :]
-            sr = pltpu.roll(srow, shift=(VEC - ((i & 31) * NSUB)) & (VEC - 1),
-                            axis=1)
-            mrow = meta_ref[g, pl.ds(2 * NSUB * i, 2 * NSUB), :]
-            vs, rots, masks, drels, Ds = [], [], [], [], []
-            for s in range(NSUB):
-                w = sr[0, s]
-                S = w & 1023
-                Ds.append(jax.lax.shift_right_logical(w, 10) * VEC)
-                bwin = b_ref[g, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
-                v, rot, mask, drel = _subpanel_gather(
-                    mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
-                    bwin, lane_p, use_take)
-                vs.append(v)
-                rots.append(rot)
-                masks.append(mask)
-                drels.append(drel)
-            if not use_take:
-                # interleaved barrel shifters: independent chains overlap
-                for k in range(7):
-                    for s in range(NSUB):
-                        bit = (jax.lax.shift_right_logical(rots[s], k) & 1) == 1
-                        vs[s] = jnp.where(
-                            bit, pltpu.roll(vs[s], shift=1 << k, axis=1), vs[s])
-            for s in range(NSUB):
-                mk = jnp.where(masks[s], vs[s], 0.0)
-                # one-hot compose matmul scatters the 128 masked piece rows
-                # into the subpanel's 128-row destination bin; disjoint
-                # destination bytes keep the f32 accumulation exact
-                ds_t = (row_iota == drels[s]).astype(jnp.bfloat16)
-                contrib = jax.lax.dot_general(
-                    ds_t, mk.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                out_ref[g, pl.ds(Ds[s], VEC), :] += contrib
-            return c
+        def make_body(aligned, g=g):
+            def body(i, c):
+                srow = starts_ref[g, pl.ds(i >> 5, 1), :]
+                sr = pltpu.roll(
+                    srow, shift=(VEC - ((i & 31) * NSUB)) & (VEC - 1), axis=1)
+                mrow = meta_ref[g, pl.ds(2 * NSUB * i, 2 * NSUB), :]
+                vs, rots, masks, drels, Ds = [], [], [], [], []
+                for s in range(NSUB):
+                    w = sr[0, s]
+                    S = w & 1023
+                    Ds.append(jax.lax.shift_right_logical(w, 10) * VEC)
+                    bwin = b_ref[g, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
+                    v, rot, mask, drel = _subpanel_gather(
+                        mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
+                        bwin, lane_p, use_take, aligned=aligned)
+                    vs.append(v)
+                    rots.append(rot)
+                    masks.append(mask)
+                    drels.append(drel)
+                if not aligned and not use_take:
+                    # interleaved barrel shifters: independent chains overlap
+                    for k in range(7):
+                        for s in range(NSUB):
+                            bit = (jax.lax.shift_right_logical(rots[s], k)
+                                   & 1) == 1
+                            vs[s] = jnp.where(
+                                bit, pltpu.roll(vs[s], shift=1 << k, axis=1),
+                                vs[s])
+                for s in range(NSUB):
+                    mk = jnp.where(masks[s], vs[s], 0.0)
+                    # one-hot compose matmul scatters the 128 masked piece
+                    # rows into the subpanel's 128-row destination bin;
+                    # disjoint destination bytes keep the f32 accumulation
+                    # exact
+                    ds_t = (row_iota == drels[s]).astype(jnp.bfloat16)
+                    contrib = jax.lax.dot_general(
+                        ds_t, mk.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    out_ref[g, pl.ds(Ds[s], VEC), :] += contrib
+                return c
+            return body
 
-        jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        jax.lax.fori_loop(0, n_rot, make_body(False), jnp.int32(0))
+        jax.lax.fori_loop(n_rot, n, make_body(True), jnp.int32(0))
 
 
 GROUP = 4  # blocks per grid step (amortizes the ~8 us/step fixed cost)

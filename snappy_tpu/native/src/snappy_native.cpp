@@ -661,7 +661,7 @@ namespace flatplan {
 static const int kVec = 128;
 static const int kNsub = 4;
 static const int kWRows = 128;
-static const int kPatRows = 512;
+static const int kPatRows = 576;  // 512 data rows + alignment-pad slack
 static int g_direct_t = 32;  // sn_set_direct_t (experiments/tests)
 static const int kPatPeriodMax = 63;
 static const int32_t kValid = 1 << 21;
@@ -670,9 +670,13 @@ struct Piece {
   int32_t b, dst, len;
 };
 
-// Shared packer: stable counting sort on (dst bin, source row), greedy
-// subpanel packing (mirrors kernels.decode_flat.pack_trips).  Returns
-// the trip count or SN_ERR_BUFFER past trip_cap.
+// Shared packer: stable counting sort on (rot class, dst bin, source
+// row), greedy subpanel packing (mirrors kernels.decode_flat.
+// pack_trips).  Trips are class-homogeneous: rot != 0 pieces pack into
+// the leading trips, phase-aligned (rot == 0) pieces into the trailing
+// trips, padded to a trip boundary between the classes — the kernel
+// runs the trailing trips through a roll-free body.  Returns
+// n_trips | (n_aligned_trips << 16), or SN_ERR_BUFFER past trip_cap.
 static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
                     int64_t trip_cap, int32_t* meta, int32_t* starts_out) {
   const int64_t Pn = (int64_t)pieces.size();
@@ -685,8 +689,9 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
   dphi.resize(Pn);
   drow.resize(Pn);
   dbin.resize(Pn);
-  // key = dbin*2048 + q (q < rb <= 2048, dbin <= 5): stable and O(P)
-  int32_t hist[6 * 2048 + 1];
+  // key = cls*6*2048 + dbin*2048 + q (q < rb <= 2048, dbin <= 5,
+  // cls in {0: rot != 0, 1: aligned}): stable and O(P)
+  int32_t hist[2 * 6 * 2048 + 1];
   memset(hist, 0, sizeof(hist));
   for (int64_t i = 0; i < Pn; i++) {
     const Piece& pc = pieces[i];
@@ -697,14 +702,21 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
     rot[i] = (kVec - (base & (kVec - 1))) & (kVec - 1);
     drow[i] = pc.dst >> 7;
     dbin[i] = drow[i] >> 7;
-    hist[dbin[i] * 2048 + q[i] + 1]++;
+    int32_t key = (rot[i] == 0 ? 6 * 2048 : 0) + dbin[i] * 2048 + q[i];
+    hist[key + 1]++;
   }
-  for (int k = 1; k <= 6 * 2048; k++) hist[k] += hist[k - 1];
-  for (int64_t i = 0; i < Pn; i++)
-    order[hist[dbin[i] * 2048 + q[i]]++] = (int32_t)i;
+  for (int k = 1; k <= 2 * 6 * 2048; k++) hist[k] += hist[k - 1];
+  int64_t R = 0;  // index of the first aligned piece in order[]
+  for (int64_t i = 0; i < Pn; i++) {
+    int32_t key = (rot[i] == 0 ? 6 * 2048 : 0) + dbin[i] * 2048 + q[i];
+    order[hist[key]++] = (int32_t)i;
+    if (rot[i] != 0) R++;
+  }
 
-  int64_t n_sub = 0, i = 0;
+  int64_t n_sub = 0, rot_subs = 0, i = 0;
   while (i < Pn) {
+    if (i == R && n_sub % kNsub)  // class boundary: pad to a trip
+      n_sub += kNsub - n_sub % kNsub;
     int64_t t = n_sub / kNsub, s = n_sub % kNsub;
     if (t >= trip_cap) return SN_ERR_BUFFER;
     if (s == 0)  // zero the whole trip's meta rows as it opens
@@ -713,8 +725,9 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
     int32_t S = q[order[i]];
     if (S + kWRows > rb) S = (int32_t)(rb - kWRows);
     int32_t bn = dbin[order[i]];
+    int64_t cls_end = i < R ? R : Pn;
     int64_t bin_end = i;
-    while (bin_end < Pn && dbin[order[bin_end]] == bn) bin_end++;
+    while (bin_end < cls_end && dbin[order[bin_end]] == bn) bin_end++;
     int64_t j = i + kVec < Pn ? i + kVec : Pn;
     if (j > bin_end) j = bin_end;
     while (j > i && q[order[j - 1]] - S > kWRows - 2) j--;
@@ -728,9 +741,12 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
     }
     starts_out[(t >> 5) * kVec + (t & 31) * 4 + s] = S | (bn << 10);
     n_sub++;
+    if (i < R) rot_subs = n_sub;
     i = j;
   }
-  return (n_sub + kNsub - 1) / kNsub;
+  int64_t n_trips = (n_sub + kNsub - 1) / kNsub;
+  int64_t n_aligned = n_trips - (rot_subs + kNsub - 1) / kNsub;
+  return n_trips | (n_aligned << 16);
 }
 }  // namespace flatplan
 
@@ -803,6 +819,11 @@ int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
   auto flush_run = [&]() -> bool {
     if (run_start < 0) return true;
     int64_t ln = run_end - run_start;
+    // best-effort phase alignment (mirrors plan_flat.flush_run): rot==0
+    // pieces ride the kernel's roll-free trip class
+    int64_t pad = ((run_start - (pat_base0 + mirror_used)) % kVec + kVec) % kVec;
+    if (pad <= ln && mirror_used + pad + ln <= (int64_t)kPatRows * kVec)
+      mirror_used += pad;
     if (mirror_used + ln > (int64_t)kPatRows * kVec) return false;
     memcpy(pat_out + mirror_used, dec + run_start, (size_t)ln);
     emit_linear(pat_base0 + mirror_used, run_start, ln);

@@ -65,3 +65,8 @@ def make_corpus_samples(rng: random.Random, sizes=(0, 1, 17, 18, 64, 1000, 65536
         unit = rng.randbytes(rng.randint(1, 97) or 1)
         out.append((unit * (n // len(unit) + 2))[:n])  # periodic binary
     return out
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process parity sweeps)")

@@ -87,7 +87,7 @@ def test_pack_respects_window_and_caps(rng):
         pk = pack_trips(pieces, TRIP_CAP, rb)
         assert pk is not None
         meta, starts, ntr = pk
-        for t in range(ntr):
+        for t in range(ntr & 0xFFFF):
             for s in range(NSUB):
                 a = meta[2 * NSUB * t + s]
                 qrel = a & 127
@@ -173,7 +173,7 @@ def test_native_planner_bitwise_parity(rng):
         assert ntr == ntr_py, f"case {i}"
         # meta rows beyond the packed trips are unspecified (the kernel
         # never reads them); compare the used region
-        assert (meta[: 8 * ntr] == meta_py[: 8 * ntr]).all(), f"case {i}"
+        assert (meta[: 8 * (ntr & 0xFFFF)] == meta_py[: 8 * (ntr & 0xFFFF)]).all(), f"case {i}"
         assert (starts == starts_py).all(), f"case {i}"
         pad = np.zeros(DF.PAT_ROWS * VEC, np.uint8)
         pad[: len(pat_py)] = pat_py
@@ -189,7 +189,7 @@ def test_native_planner_corpus_parity(rng):
         rb = rows_b_for(len(cb))
         meta_py, starts_py, ntr_py = pack_trips(pieces, TRIP_CAP, rb)
         ntr, meta, starts, pat = _native_plan(cb, rb)
-        assert ntr == ntr_py and (meta[: 8 * ntr] == meta_py[: 8 * ntr]).all(), name
+        assert ntr == ntr_py and (meta[: 8 * (ntr & 0xFFFF)] == meta_py[: 8 * (ntr & 0xFFFF)]).all(), name
         out = execute_flat_np(meta, starts, ntr,
                               build_b_bytes(cb, pat, rb), dlen)
         assert out.tobytes() == blk, name
@@ -224,7 +224,7 @@ def test_many_distinct_overlapping_copy_runs(rng):
     assert out.tobytes() == data
     ntr_c, meta_c, starts_c, pat_c = _native_plan(cb, rb)
     assert ntr_c == ntr
-    assert (meta_c[: 8 * ntr] == meta[: 8 * ntr]).all()
+    assert (meta_c[: 8 * (ntr & 0xFFFF)] == meta[: 8 * (ntr & 0xFFFF)]).all()
 
 
 def test_copy_of_copy_chains(rng):
@@ -242,7 +242,7 @@ def test_copy_of_copy_chains(rng):
     meta, starts, ntr, bb, rb = _pack(cb, pieces, pat)
     assert execute_flat_np(meta, starts, ntr, bb, dlen).tobytes() == data
     ntr_c, meta_c, starts_c, pat_c = _native_plan(cb, rb)
-    assert ntr_c == ntr and (meta_c[: 8 * ntr] == meta[: 8 * ntr]).all()
+    assert ntr_c == ntr and (meta_c[: 8 * (ntr & 0xFFFF)] == meta[: 8 * (ntr & 0xFFFF)]).all()
 
 
 def test_pack_window_shrink(rng):
@@ -262,7 +262,7 @@ def test_pack_window_shrink(rng):
     pk = pack_trips(pieces, TRIP_CAP, rb)
     assert pk is not None
     meta, starts, ntr = pk
-    for t in range(ntr):
+    for t in range(ntr & 0xFFFF):
         for s in range(NSUB):
             a = meta[2 * NSUB * t + s]
             assert int((a & 127).max(initial=0)) <= W_ROWS - 2
@@ -288,7 +288,7 @@ def test_native_planner_threaded_consistency(rng):
     def worker(args):
         blk, (cb, rb, ntr_py, meta_py) = args
         ntr, meta, starts, pat = _native_plan(cb, rb)
-        return ntr == ntr_py and (meta[: 8 * ntr] == meta_py[: 8 * ntr]).all()
+        return ntr == ntr_py and (meta[: 8 * (ntr & 0xFFFF)] == meta_py[: 8 * (ntr & 0xFFFF)]).all()
 
     with ThreadPoolExecutor(max_workers=4) as ex:
         assert all(ex.map(worker, zip(blocks, expected)))

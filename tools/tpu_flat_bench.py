@@ -38,6 +38,9 @@ from snappy_tpu.spec.format import read_uvarint
 mode = sys.argv[1] if len(sys.argv) > 1 else "decode"
 n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+# ONECALL=1: fuse all batches into ONE device dispatch (the per-call
+# relay sync is ~5 ms — at 12 calls that floor hides the kernel)
+ONECALL = int(__import__("os").environ.get("ONECALL", "0"))
 BMAX, CMAX = 65536, 66560
 RB = rows_b_for(CMAX)
 
@@ -90,13 +93,23 @@ for k in range(n_batches):
             tb = VEC + SRC_SPAN
             b_u8[i, tb : tb + tag_used] = tagbuf[:tag_used]
             exp.append(c)
-        trip_counts.append(int(ntr[i]))
-    if mode == "encode":  # stage pre-cast i32 (skips a per-call HBM pass)
-        b_dev = b_u8.astype(np.int32).reshape(B, -1, VEC)
+        trip_counts.append(int(ntr[i]) & 0xFFFF)
+    if ONECALL:
+        batches.append((b_u8, meta, starts, ntr))
     else:
-        b_dev = b_u8
-    batches.append(tuple(map(jax.device_put, (b_dev, meta, starts, ntr))))
+        if mode == "encode":  # pre-cast i32 (skips a per-call HBM pass)
+            b_dev = b_u8.astype(np.int32).reshape(B, -1, VEC)
+        else:
+            b_dev = b_u8
+        batches.append(tuple(map(jax.device_put, (b_dev, meta, starts, ntr))))
     expect.append(exp)
+
+if ONECALL:
+    stacked = [np.concatenate([bt[k] for bt in batches]) for k in range(4)]
+    if mode == "encode":
+        stacked[0] = stacked[0].astype(np.int32).reshape(
+            n_batches * B, -1, VEC)
+    batches = [tuple(map(jax.device_put, stacked))]
 
 print(f"staged {n_batches}x{B} blocks ({mode}), {total/1e6:.1f} MB, "
       f"avg trips/block {np.mean(trip_counts):.1f} (max {max(trip_counts)}), "
@@ -122,12 +135,13 @@ np.asarray(combine(*outs))
 print(f"compile+first run {time.time()-t0:.1f}s", flush=True)
 
 out0 = np.asarray(outs[0])
-bad = 0
-for i in range(B):
-    want = expect[0][i]
+bad = tot_chk = 0
+exp_flat = [w for e in (expect if ONECALL else expect[:1]) for w in e]
+for i, want in enumerate(exp_flat):
     got = out0[i][: len(want)].tobytes()
     bad += got != want
-print(f"verify batch0: {B - bad}/{B} blocks bit-exact", flush=True)
+    tot_chk += 1
+print(f"verify: {tot_chk - bad}/{tot_chk} blocks bit-exact", flush=True)
 
 times = []
 for _ in range(5):
