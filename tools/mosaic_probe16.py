@@ -7,6 +7,11 @@ are NOT checked for the ablated variants — timing only):
   noroll1g  — rolls removed AND u1 gather removed (the aligned-trip body)
   mmshift   — barrel shifter steps as one-hot matmuls instead of
               pltpu.roll (tests whether matmul issue beats roll latency)
+  normw     — noroll1g with the dynamic-start += accumulate replaced by
+              a static-position plain store (isolates the RMW cost)
+  nocompose — noroll1g minus the compose matmul AND the RMW (gather +
+              mask only; isolates gather cost)
+  empty     — meta/starts reads only (loop + scalar-plumbing floor)
 
 Usage: python tools/mosaic_probe16.py [B] [trips]
 """
@@ -49,10 +54,10 @@ def make_kernel(variant: str, group: int):
         lane_p = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 1)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 0)
         if variant == "mmshift":
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 0)
+            coli = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 1)
             shifts = [
-                jnp.eye(VEC, dtype=jnp.bfloat16)[
-                    :, (np.arange(VEC) + (1 << k)) % VEC
-                ]
+                (((rowi + (1 << k)) & (VEC - 1)) == coli).astype(jnp.bfloat16)
                 for k in range(7)
             ]
         for g in range(group):
@@ -65,6 +70,10 @@ def make_kernel(variant: str, group: int):
                     srow, shift=(VEC - ((i & 31) * NSUB)) & (VEC - 1), axis=1)
                 mrow = meta_ref[g, pl.ds(2 * NSUB * i, 2 * NSUB), :]
                 vs, rots, masks, drels, Ds = [], [], [], [], []
+                if variant == "empty":
+                    acc = (sr[0, 0] + mrow[0, 0]).astype(jnp.float32)
+                    out_ref[g, 0:1, :] += jnp.full((1, VEC), acc, jnp.float32)
+                    return c
                 for s in range(NSUB):
                     w = sr[0, s]
                     S = w & 1023
@@ -86,7 +95,7 @@ def make_kernel(variant: str, group: int):
                         rs0, bwin, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     phi = (VEC - rot) & (VEC - 1)
-                    if variant == "noroll1g":
+                    if variant in ("noroll1g", "normw", "nocompose"):
                         v = u0
                     else:
                         rs1 = (lane_w == qrel + 1).astype(jnp.bfloat16)
@@ -119,12 +128,18 @@ def make_kernel(variant: str, group: int):
                             vs[s] = jnp.where(bit, rolled, vs[s])
                 for s in range(NSUB):
                     mk = jnp.where(masks[s], vs[s], 0.0)
+                    if variant == "nocompose":
+                        out_ref[g, s * VEC:(s + 1) * VEC, :] = mk
+                        continue
                     ds_t = (row_iota == drels[s]).astype(jnp.bfloat16)
                     contrib = jax.lax.dot_general(
                         ds_t, mk.astype(jnp.bfloat16),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    out_ref[g, pl.ds(Ds[s], VEC), :] += contrib
+                    if variant == "normw":
+                        out_ref[g, s * VEC:(s + 1) * VEC, :] = contrib
+                    else:
+                        out_ref[g, pl.ds(Ds[s], VEC), :] += contrib
                 return c
 
             jax.lax.fori_loop(0, n, body, jnp.int32(0))
@@ -186,7 +201,7 @@ print(f"devices: {jax.devices()}", flush=True)
 args = tuple(map(jax.device_put, (ntr, b_i32, starts, meta)))
 
 combine = jax.jit(lambda x: jnp.sum(x))
-for variant in ("full", "noroll", "noroll1g", "mmshift"):
+for variant in ("full", "noroll", "noroll1g", "mmshift", "normw", "nocompose", "empty"):
     t0 = time.time()
     out = run(*args, variant=variant, group=GROUP)
     float(np.asarray(combine(out)).item())

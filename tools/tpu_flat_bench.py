@@ -40,7 +40,10 @@ n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 # ONECALL=1: fuse all batches into ONE device dispatch (the per-call
 # relay sync is ~5 ms — at 12 calls that floor hides the kernel)
-ONECALL = int(__import__("os").environ.get("ONECALL", "0"))
+import os
+ONECALL = int(os.environ.get("ONECALL", "0"))
+GROUP = int(os.environ.get("GROUP", "0")) or None   # kernel blocks/grid step
+TRIPCAP = int(os.environ.get("TRIPCAP", "0")) or None  # staging trip cap
 BMAX, CMAX = 65536, 66560
 RB = rows_b_for(CMAX)
 
@@ -57,7 +60,7 @@ trip_counts = []
 for k in range(n_batches):
     if mode == "decode":
         b_u8 = np.zeros((B, RB * VEC), np.uint8)
-        meta = np.zeros((B, 8 * TRIP_CAP, VEC), np.int32)
+        meta = np.zeros((B, 8 * (TRIPCAP or TRIP_CAP), VEC), np.int32)
         starts = np.zeros((B, 8, VEC), np.int32)
         fpat = np.empty(PAT_ROWS * VEC, np.uint8)
     else:
@@ -123,7 +126,8 @@ def run():
     outs = []
     for b_u8, meta, starts, ntr in batches:
         if mode == "decode":
-            outs.append(decode_blocks_flat(b_u8, meta, starts, ntr, BMAX))
+            outs.append(decode_blocks_flat(b_u8, meta, starts, ntr, BMAX,
+                                          group=GROUP))
         else:
             outs.append(encode_blocks_flat(b_u8, meta, starts, ntr))
     return outs
