@@ -372,3 +372,52 @@ def test_empty_plan_executes():
     assert ntr == 0
     bb = np.zeros(rows_b_for(VEC) * VEC, np.uint8)
     assert execute_flat_np(meta, starts, ntr, bb, 0).size == 0
+
+
+def test_trip_classes_are_homogeneous(rng):
+    """pack_trips packs rot != 0 pieces into the leading trips and
+    phase-aligned (rot == 0) pieces into the trailing n_aligned trips;
+    the kernel's roll-free body depends on the trailing trips carrying
+    NO rotation."""
+    for data in _samples(rng):
+        cb, dlen, pieces, pat = _plan(data)
+        rb = rows_b_for(len(cb))
+        pk = pack_trips(pieces, TRIP_CAP, rb)
+        assert pk is not None
+        meta, starts, ntr = pk
+        n = ntr & 0xFFFF
+        n_rot = n - (ntr >> 16)
+        for t in range(n):
+            for s in range(NSUB):
+                a = meta[2 * NSUB * t + s]
+                bw = meta[2 * NSUB * t + NSUB + s]
+                valid = (bw & (1 << 21)) != 0
+                rot = (a >> 7) & 127
+                if t >= n_rot:  # aligned class: every valid piece rot==0
+                    assert not (valid & (rot != 0)).any(), (t, s)
+
+
+def test_aligned_majority_on_corpus(rng):
+    """The planner's mirror phase-alignment must keep the bulk of
+    corpus trips in the roll-free class (the round-2 decode perf story;
+    guards against silent regression of the alignment heuristics)."""
+    from snappy_tpu.bench.corpus import make_corpus
+
+    files = make_corpus(4 * 1024 * 1024, seed=11)
+    data = b"".join(d for _, d in files)
+    meta = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
+    starts = np.empty((8, VEC), np.int32)
+    pat = np.empty(DF.PAT_ROWS * VEC, np.uint8)
+    tot = aligned = 0
+    for k in range(len(data) // 65536):
+        blk = data[k * 65536 : (k + 1) * 65536]
+        c = native.compress(blk)
+        dlen, h = read_uvarint(c, 0)
+        cb = np.frombuffer(c, np.uint8)
+        nt = native.parse_tags(c, h, dlen, _TMP)
+        g = native.plan_flat(_TMP, nt, cb, rows_b_for(len(cb)), meta,
+                             starts, pat)
+        assert g is not None
+        tot += g & 0xFFFF
+        aligned += g >> 16
+    assert aligned / tot > 0.5, f"aligned {aligned}/{tot}"
