@@ -918,6 +918,11 @@ int64_t sn_plan_flat_enc(const int32_t* rec, uint64_t n_tags,
     auto flush_seg = [&](int64_t upto) -> bool {
       int64_t seg = upto - seg_start;
       if (seg <= 0) return true;
+      // best-effort phase alignment (kTagBase % 128 == 0): aligned
+      // segments ride the kernel's roll-free trip class
+      int64_t pad = ((seg_start - tag_used) % kVec + kVec) % kVec;
+      if (pad <= seg && tag_used + pad + seg <= (int64_t)tag_cap)
+        tag_used += pad;
       if (tag_used + seg > (int64_t)tag_cap) return false;
       memcpy(tagbuf + tag_used, comp + seg_start, seg);
       emit(kTagBase + tag_used, seg_start, seg);
