@@ -195,43 +195,113 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             outs.append(out[:, :1].astype(jnp.int32))
         return int(np.asarray(combine(*outs)))
 
-    # flat-plan staging: host parse + plan (the production TPU path)
+    # Flat-engine staging: host parse + plan, BOTH directions in one
+    # threaded pass (the native calls release the GIL).  The flat
+    # engines time over an EXTENDED corpus (SNAPPY_TPU_BENCH_DEVBYTES,
+    # default 128 MB): the kernels run in the GB/s range, so the
+    # one-time forced-sync cost through the relay must amortize over
+    # far more resident plans than the 24 MB legacy batches.  A block
+    # whose plan overflows a cap stages as an empty plan and its bytes
+    # leave that engine's accounting (production falls back per chunk).
     flat_args = []
+    flat_enc_args = []
+    flat_dec_bytes = 0
+    flat_enc_bytes = 0
     if native.available():
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         from snappy_tpu.kernels.decode_flat import (
             PAT_ROWS as _F_PATR,
             TRIP_CAP as _F_TRIPS,
             rows_b_for,
         )
+        from snappy_tpu.kernels.encode_flat import (
+            ENC_TRIP_CAP as _FE_TRIPS,
+            RB_ENC as _FE_RB,
+            SRC_SPAN as _FE_SPAN,
+            TAG_ROWS as _FE_TAGR,
+        )
+        from snappy_tpu.spec.format import read_uvarint as _ruv
 
+        devbytes = int(os.environ.get(
+            "SNAPPY_TPU_BENCH_DEVBYTES", str(128 << 20)))
+        if jax.default_backend() != "tpu":
+            devbytes = 0  # flat engines are only timed on TPU
+        flat_nb = max(n_batches, min(32, devbytes // (B * BMAX)))
+        need = flat_nb * B * BMAX
+        if need > len(data):
+            from snappy_tpu.bench.corpus import make_corpus as _mk
+
+            src_all = data + b"".join(
+                d for _, d in _mk(need - len(data) + BMAX, seed=13))
+        else:
+            src_all = data
         _f_rb = rows_b_for(CMAX)
-        tmp = np.empty((CMAX // 2 + 2, 4), np.int32)
-        _fpat = np.empty(_F_PATR * 128, np.uint8)
-        for comp_h, starts_h, clens_h in dec_args_host:
+        _tls = threading.local()
+
+        def _scratch():
+            s = getattr(_tls, "bufs", None)
+            if s is None:
+                s = (np.empty((CMAX // 2 + 2, 4), np.int32),
+                     np.empty(_F_PATR * 128, np.uint8),
+                     np.empty(_FE_TAGR * 128, np.uint8))
+                _tls.bufs = s
+            return s
+
+        pool = ThreadPoolExecutor(4)
+        dec_ok = enc_ok = 0
+
+        for k in range(flat_nb):
             b_u8 = np.zeros((B, _f_rb * 128), np.uint8)
-            fmeta = np.empty((B, 8 * _F_TRIPS, 128), np.int32)
-            fst = np.empty((B, 8, 128), np.int32)
+            fmeta = np.zeros((B, 8 * _F_TRIPS, 128), np.int32)
+            fst = np.zeros((B, 8, 128), np.int32)
             ntr = np.zeros(B, np.int32)
-            ok = True
-            for i in range(B):
-                payload = comp_h[i, : clens_h[i]]
-                nt = native.parse_tags(
-                    payload.tobytes(), int(starts_h[i]), BMAX, tmp
-                )
-                g = native.plan_flat(tmp, nt, payload, _f_rb, fmeta[i], fst[i], _fpat)
-                if g is None:
-                    ok = False
-                    break
-                ntr[i] = g
-                b_u8[i, 128 : 128 + len(payload)] = payload
-                b_u8[i, 128 + len(payload) : 128 + len(payload) + _F_PATR * 128] = _fpat
-            if not ok:
-                flat_args = []
-                break
+            eb_u8 = np.zeros((B, _FE_RB * 128), np.uint8)
+            efmeta = np.zeros((B, 8 * _FE_TRIPS, 128), np.int32)
+            efst = np.zeros((B, 8, 128), np.int32)
+            entr = np.zeros(B, np.int32)
+
+            def _stage_row(i, k=k):
+                tmp, fpat, tagbuf = _scratch()
+                block = src_all[(k * B + i) * BMAX : (k * B + i + 1) * BMAX]
+                c = native.compress(block)
+                _, hdr = _ruv(c, 0)
+                cb = np.frombuffer(c, np.uint8)
+                nt = native.parse_tags(c, hdr, len(block), tmp)
+                d_ok = e_ok = 0
+                g = native.plan_flat(tmp, nt, cb, _f_rb, fmeta[i], fst[i],
+                                     fpat)
+                if g is not None:
+                    ntr[i] = g
+                    b_u8[i, 128 : 128 + len(cb)] = cb
+                    b_u8[i, 128 + len(cb) : 128 + len(cb) + _F_PATR * 128] = fpat
+                    d_ok = len(block)
+                r = native.plan_flat_enc(tmp, nt, cb, _FE_RB, efmeta[i],
+                                         efst[i], tagbuf)
+                if r is not None:
+                    entr[i], tag_used = r
+                    eb_u8[i, 128 : 128 + len(block)] = np.frombuffer(
+                        block, np.uint8)
+                    tb = 128 + _FE_SPAN
+                    eb_u8[i, tb : tb + tag_used] = tagbuf[:tag_used]
+                    e_ok = len(block)
+                return d_ok, e_ok
+
+            for d_ok, e_ok in pool.map(_stage_row, range(B)):
+                dec_ok += d_ok
+                enc_ok += e_ok
             # pre-cast i32 staging (skips a full-HBM cast pass per call)
             flat_args.append(tuple(map(jax.device_put, (
                 b_u8.astype(np.int32).reshape(B, -1, 128), fmeta, fst, ntr
             ))))
+            flat_enc_args.append(tuple(map(jax.device_put, (
+                eb_u8.astype(np.int32).reshape(B, -1, 128), efmeta, efst,
+                entr
+            ))))
+        pool.shutdown()
+        flat_dec_bytes = dec_ok
+        flat_enc_bytes = enc_ok
 
     def run_decode_flat():
         from snappy_tpu.kernels.decode_flat import decode_blocks_flat
@@ -241,50 +311,6 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             out = decode_blocks_flat(b_d, m_d, s_d, n_d, dst_max=BMAX)
             outs.append(out[:, :1].astype(jnp.int32))
         return int(np.asarray(combine(*outs)))
-
-    # flat-encode staging: host matcher + emission plan (the production
-    # TPU encode path; emission == the host encoder's, byte-for-byte)
-    flat_enc_args = []
-    if native.available():
-        from snappy_tpu.kernels.encode_flat import (
-            ENC_TRIP_CAP as _FE_TRIPS,
-            RB_ENC as _FE_RB,
-            SRC_SPAN as _FE_SPAN,
-            TAG_ROWS as _FE_TAGR,
-        )
-        from snappy_tpu.spec.format import read_uvarint as _ruv
-
-        tmp = np.empty((CMAX // 2 + 2, 4), np.int32)
-        _tagbuf = np.empty(_FE_TAGR * 128, np.uint8)
-        for k in range(n_batches):
-            b_u8 = np.zeros((B, _FE_RB * 128), np.uint8)
-            fmeta = np.empty((B, 8 * _FE_TRIPS, 128), np.int32)
-            fst = np.zeros((B, 8, 128), np.int32)
-            ntr = np.zeros(B, np.int32)
-            ok = True
-            for i in range(B):
-                block = data[(k * B + i) * BMAX : (k * B + i + 1) * BMAX]
-                c = native.compress(block)
-                _, hdr = _ruv(c, 0)
-                cb = np.frombuffer(c, np.uint8)
-                nt = native.parse_tags(c, hdr, len(block), tmp)
-                r = native.plan_flat_enc(tmp, nt, cb, _FE_RB, fmeta[i],
-                                         fst[i], _tagbuf)
-                if r is None:
-                    ok = False
-                    break
-                ntr[i], tag_used = r
-                b_u8[i, 128 : 128 + len(block)] = np.frombuffer(block, np.uint8)
-                tb = 128 + _FE_SPAN
-                b_u8[i, tb : tb + tag_used] = _tagbuf[:tag_used]
-            if not ok:
-                flat_enc_args = []
-                break
-            # pre-cast i32 staging (skips a full-HBM cast pass per call;
-            # the encode path is fixed-overhead-bound)
-            flat_enc_args.append(tuple(map(jax.device_put, (
-                b_u8.astype(np.int32).reshape(B, -1, 128), fmeta, fst, ntr
-            ))))
 
     def run_encode_flat():
         from snappy_tpu.kernels.encode_flat import encode_blocks_flat
@@ -429,8 +455,9 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         )
     if flat_dec_times:
         out["device_decompress_flat_gbs"] = round(
-            total / 1e9 / min(flat_dec_times), 4
+            flat_dec_bytes / 1e9 / min(flat_dec_times), 4
         )
+        out["device_flat_bytes"] = flat_dec_bytes
         out["device_decompress_gbs"] = max(
             out["device_decompress_gbs"], out["device_decompress_flat_gbs"]
         )
@@ -443,7 +470,7 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         )
     if flat_enc_times:
         out["device_compress_flat_gbs"] = round(
-            total / 1e9 / min(flat_enc_times), 4
+            flat_enc_bytes / 1e9 / min(flat_enc_times), 4
         )
         out["device_compress_gbs"] = max(
             out["device_compress_gbs"], out["device_compress_flat_gbs"]
