@@ -509,7 +509,7 @@ def _scaling_bench_subprocess() -> dict:
         }
 
 
-def scaling_bench(repeats: int = 2, virtual: bool = False) -> dict:
+def scaling_bench(repeats: int = 4, virtual: bool = False) -> dict:
     """GB/s scaling evidence across the local device mesh (BASELINE
     config 4): decode the same enwik-like block workload on 1 device vs
     all devices.
@@ -536,7 +536,9 @@ def scaling_bench(repeats: int = 2, virtual: bool = False) -> dict:
     from snappy_tpu.spec.format import read_uvarint
     from snappy_tpu import native
 
-    B, BMAX, CMAX = 8 * n_dev, 65536, 66560
+    # 16 blocks/device: small enough to stay cache-warm on the virtual
+    # mesh, big enough that partitioner overhead dominates noise
+    B, BMAX, CMAX = 16 * n_dev, 65536, 66560
     data = make_enwik_like(B * BMAX)
     comp = np.zeros((B, CMAX), np.uint8)
     starts = np.zeros(B, np.int32)
