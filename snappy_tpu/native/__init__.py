@@ -113,6 +113,12 @@ def _load():
         ]
         lib.sn_set_direct_t.restype = None
         lib.sn_set_direct_t.argtypes = [ctypes.c_int]
+        lib.sn_plan_flat_fused.restype = ctypes.c_int64
+        lib.sn_plan_flat_fused.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, u8p,
+        ]
         lib.sn_plan_flat.restype = ctypes.c_int64
         lib.sn_plan_flat.argtypes = [
             i32p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int64,
@@ -244,6 +250,38 @@ def plan_flat(
     rc = lib.sn_plan_flat(
         rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_tags,
         _as_u8p(comp), comp.shape[0], rb, trip_cap, piece_cap,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _as_u8p(pat),
+    )
+    if rc == -5:
+        return None
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc)
+
+
+def plan_flat_fused(
+    element: bytes | np.ndarray,
+    hdr: int,
+    dst_len: int,
+    rb: int,
+    meta: np.ndarray,
+    starts: np.ndarray,
+    pat: np.ndarray,
+    piece_cap: int = -1,
+) -> int | None:
+    """Fused single-pass flat planner (see sn_plan_flat_fused): tag
+    parse + validate + scratch replay + classify in one walk — no tag
+    record array.  element: the full block element (preamble included),
+    hdr: payload offset, dst_len: decoded size.  Bit-identical plans to
+    parse_tags + plan_flat; raises CorruptError on invalid streams,
+    returns None past a cap (caller picks another engine)."""
+    lib = _load()
+    src = _to_arr(element) if isinstance(element, bytes) else element
+    trip_cap = meta.shape[0] // 8
+    rc = lib.sn_plan_flat_fused(
+        _as_u8p(src), src.shape[0], hdr, dst_len, rb, trip_cap, piece_cap,
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         _as_u8p(pat),

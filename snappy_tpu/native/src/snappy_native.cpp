@@ -754,29 +754,52 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
 // kernels.decode_flat.DIRECT_T, 0 sends everything through the mirror).
 void sn_set_direct_t(int t) { flatplan::g_direct_t = t; }
 
-int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
-                     uint64_t comp_len, int64_t rb, int64_t trip_cap,
-                     int64_t piece_cap, int32_t* meta, int32_t* starts_out,
-                     uint8_t* pat_out) {
-  using namespace flatplan;
-  if (trip_cap > 256) return SN_ERR_BUFFER;
-  // meta rows are zeroed as they are packed (only rows < 2*4*ntrips are
-  // ever read by the kernel or the np contract)
-  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
-  memset(pat_out, 0, (size_t)kPatRows * kVec);
+namespace flatplan {
 
-  const int64_t out_end =
-      n_tags ? (int64_t)rec[4 * (n_tags - 1) + 3] + rec[4 * (n_tags - 1) + 1]
-             : 0;
+// Shared planning context: scratch-decode replay + emission classify.
+// Driven tag-by-tag either from parsed records (sn_plan_flat, the
+// Python-contract mirror) or inline from the byte stream
+// (sn_plan_flat_fused, the production single-pass path) — both produce
+// bit-identical plans.
+struct Ctx {
+  uint8_t* dec;
+  const uint8_t* comp;
+  uint8_t* pat_out;
+  int64_t pat_base0;
+  int64_t piece_cap;
+  int64_t mirror_used = 0;
+  int64_t run_start = -1, run_end = -1;
+  std::vector<Piece>* pieces;
+  std::vector<int64_t>*lits, *lite, *lita;
 
-  // scratch decode: the stream is already validated (sn_parse_tags),
-  // replay it with a tight LZ loop (mirrors the np contract's replay)
-  static thread_local std::vector<uint8_t> dec_buf;
-  if ((int64_t)dec_buf.size() < out_end) dec_buf.resize((size_t)out_end);
-  uint8_t* dec = dec_buf.data();
-  for (uint64_t t = 0; t < n_tags; t++) {
-    int64_t kind = rec[4 * t + 0], L = rec[4 * t + 1];
-    int64_t arg = rec[4 * t + 2], d = rec[4 * t + 3];
+  void emit_linear(int64_t b, int64_t dst, int64_t ln) {
+    while (ln > 0) {
+      int64_t take = kVec - (dst & (kVec - 1));
+      if (take > ln) take = ln;
+      pieces->push_back({(int32_t)b, (int32_t)dst, (int32_t)take});
+      b += take;
+      dst += take;
+      ln -= take;
+    }
+  }
+  bool flush_run() {
+    if (run_start < 0) return true;
+    int64_t ln = run_end - run_start;
+    // best-effort phase alignment (mirrors plan_flat.flush_run):
+    // rot==0 pieces ride the kernel's roll-free trip class
+    int64_t pad =
+        ((run_start - (pat_base0 + mirror_used)) % kVec + kVec) % kVec;
+    if (pad <= ln && mirror_used + pad + ln <= (int64_t)kPatRows * kVec)
+      mirror_used += pad;
+    if (mirror_used + ln > (int64_t)kPatRows * kVec) return false;
+    memcpy(pat_out + mirror_used, dec + run_start, (size_t)ln);
+    emit_linear(pat_base0 + mirror_used, run_start, ln);
+    mirror_used += ln;
+    run_start = -1;
+    return true;
+  }
+  // returns false on budget overflow (caller falls back)
+  bool tag(int64_t kind, int64_t L, int64_t arg, int64_t d) {
     if (kind == 0) {
       memcpy(dec + d, comp + arg, (size_t)L);
     } else if (arg >= L) {
@@ -793,83 +816,172 @@ int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
         have += t2;
       }
     }
-  }
-
-  static thread_local std::vector<Piece> pieces;
-  static thread_local std::vector<int64_t> lit_s, lit_e, lit_a;
-  pieces.clear();
-  lit_s.clear();
-  lit_e.clear();
-  lit_a.clear();
-
-  const int64_t pat_base0 = kVec + (int64_t)comp_len;
-  int64_t mirror_used = 0;
-  int64_t run_start = -1, run_end = -1;
-
-  auto emit_linear = [&](int64_t b, int64_t dst, int64_t ln) {
-    while (ln > 0) {
-      int64_t take = kVec - (dst & (kVec - 1));
-      if (take > ln) take = ln;
-      pieces.push_back({(int32_t)b, (int32_t)dst, (int32_t)take});
-      b += take;
-      dst += take;
-      ln -= take;
-    }
-  };
-  auto flush_run = [&]() -> bool {
-    if (run_start < 0) return true;
-    int64_t ln = run_end - run_start;
-    // best-effort phase alignment (mirrors plan_flat.flush_run): rot==0
-    // pieces ride the kernel's roll-free trip class
-    int64_t pad = ((run_start - (pat_base0 + mirror_used)) % kVec + kVec) % kVec;
-    if (pad <= ln && mirror_used + pad + ln <= (int64_t)kPatRows * kVec)
-      mirror_used += pad;
-    if (mirror_used + ln > (int64_t)kPatRows * kVec) return false;
-    memcpy(pat_out + mirror_used, dec + run_start, (size_t)ln);
-    emit_linear(pat_base0 + mirror_used, run_start, ln);
-    mirror_used += ln;
-    run_start = -1;
-    return true;
-  };
-
-  for (uint64_t t = 0; t < n_tags; t++) {
-    int64_t kind = rec[4 * t + 0], L = rec[4 * t + 1];
-    int64_t arg = rec[4 * t + 2], d = rec[4 * t + 3];
     int64_t b_direct = -1;
     if (kind == 0) {
-      lit_s.push_back(d);
-      lit_e.push_back(d + L);
-      lit_a.push_back(arg);
+      lits->push_back(d);
+      lite->push_back(d + L);
+      lita->push_back(arg);
       if (L >= g_direct_t) b_direct = kVec + arg;
     } else if (L >= g_direct_t) {
       int64_t s0 = d - arg;
       int64_t i =
-          (int64_t)(std::upper_bound(lit_s.begin(), lit_s.end(), s0) -
-                    lit_s.begin()) -
+          (int64_t)(std::upper_bound(lits->begin(), lits->end(), s0) -
+                    lits->begin()) -
           1;
-      if (i >= 0 && lit_e[i] >= s0 + L)
-        b_direct = kVec + lit_a[i] + (s0 - lit_s[i]);
+      if (i >= 0 && (*lite)[i] >= s0 + L)
+        b_direct = kVec + (*lita)[i] + (s0 - (*lits)[i]);
     }
     if (b_direct >= 0) {
-      if (!flush_run()) return SN_ERR_BUFFER;
+      if (!flush_run()) return false;
       emit_linear(b_direct, d, L);
     } else {
       if (run_start < 0) {
         run_start = d;
-      } else if (run_end != d) {  // non-contiguous (cannot happen: tags tile)
-        if (!flush_run()) return SN_ERR_BUFFER;
+      } else if (run_end != d) {  // non-contiguous (cannot happen)
+        if (!flush_run()) return false;
         run_start = d;
       }
       run_end = d + L;
     }
-    if (piece_cap >= 0 && (int64_t)pieces.size() > piece_cap)
+    return piece_cap < 0 || (int64_t)pieces->size() <= piece_cap;
+  }
+  bool finish() {
+    if (!flush_run()) return false;
+    return piece_cap < 0 || (int64_t)pieces->size() <= piece_cap;
+  }
+};
+
+// thread_local planning scratch shared by both entry points
+static thread_local std::vector<uint8_t> dec_buf;
+static thread_local std::vector<Piece> pieces_buf;
+static thread_local std::vector<int64_t> lit_s, lit_e, lit_a;
+
+static Ctx make_ctx(const uint8_t* comp, uint64_t comp_len, int64_t out_end,
+                    int64_t piece_cap, uint8_t* pat_out) {
+  if ((int64_t)dec_buf.size() < out_end) dec_buf.resize((size_t)out_end);
+  pieces_buf.clear();
+  lit_s.clear();
+  lit_e.clear();
+  lit_a.clear();
+  Ctx c;
+  c.dec = dec_buf.data();
+  c.comp = comp;
+  c.pat_out = pat_out;
+  c.pat_base0 = kVec + (int64_t)comp_len;
+  c.piece_cap = piece_cap;
+  c.pieces = &pieces_buf;
+  c.lits = &lit_s;
+  c.lite = &lit_e;
+  c.lita = &lit_a;
+  return c;
+}
+}  // namespace flatplan
+
+int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
+                     uint64_t comp_len, int64_t rb, int64_t trip_cap,
+                     int64_t piece_cap, int32_t* meta, int32_t* starts_out,
+                     uint8_t* pat_out) {
+  using namespace flatplan;
+  if (trip_cap > 256) return SN_ERR_BUFFER;
+  // meta rows are zeroed as they are packed (only rows < 2*4*ntrips are
+  // ever read by the kernel or the np contract)
+  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
+  memset(pat_out, 0, (size_t)kPatRows * kVec);
+
+  const int64_t out_end =
+      n_tags ? (int64_t)rec[4 * (n_tags - 1) + 3] + rec[4 * (n_tags - 1) + 1]
+             : 0;
+  Ctx ctx = make_ctx(comp, comp_len, out_end, piece_cap, pat_out);
+  for (uint64_t t = 0; t < n_tags; t++) {
+    if (!ctx.tag(rec[4 * t + 0], rec[4 * t + 1], rec[4 * t + 2],
+                 rec[4 * t + 3]))
       return SN_ERR_BUFFER;
   }
-  if (!flush_run()) return SN_ERR_BUFFER;
-  if (piece_cap >= 0 && (int64_t)pieces.size() > piece_cap)
-    return SN_ERR_BUFFER;
+  if (!ctx.finish()) return SN_ERR_BUFFER;
+  std::vector<Piece>& pieces = pieces_buf;
 
   return pack(pieces, rb, trip_cap, meta, starts_out);
+}
+
+// Fused single-pass flat planner: tag parse (validating, mirrors
+// sn_parse_tags byte-for-byte), scratch-decode replay, and emission
+// classify in ONE walk over the element — no tag-record array is
+// written or re-read.  Bit-identical plans to sn_parse_tags +
+// sn_plan_flat (tests enforce); ~1.5x the two-pass host rate.
+//   src/n: the block element; s: payload offset (preamble skipped);
+//   dst_len: decoded size from the preamble.
+// Returns pack()'s n_trips|(n_aligned<<16), SN_ERR_CORRUPT on invalid
+// streams, or SN_ERR_BUFFER past a cap (caller falls back).
+int64_t sn_plan_flat_fused(const uint8_t* src, uint64_t n, uint64_t s,
+                           uint64_t dst_len, int64_t rb, int64_t trip_cap,
+                           int64_t piece_cap, int32_t* meta,
+                           int32_t* starts_out, uint8_t* pat_out) {
+  using namespace flatplan;
+  if (trip_cap > 256) return SN_ERR_BUFFER;
+  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
+  memset(pat_out, 0, (size_t)kPatRows * kVec);
+
+  Ctx ctx = make_ctx(src, n, (int64_t)dst_len, piece_cap, pat_out);
+  uint64_t d = 0;
+  while (s < n) {
+    uint32_t tag = src[s] & 3;
+    uint64_t length, offset;
+    if (tag == 0) {
+      uint32_t x = src[s] >> 2;
+      if (x < 60) {
+        s += 1;
+      } else if (x == 60) {
+        s += 2;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 1];
+      } else if (x == 61) {
+        s += 3;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 2] | ((uint32_t)src[s - 1] << 8);
+      } else if (x == 62) {
+        s += 4;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 3] | ((uint32_t)src[s - 2] << 8) |
+            ((uint32_t)src[s - 1] << 16);
+      } else {
+        s += 5;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 4] | ((uint32_t)src[s - 3] << 8) |
+            ((uint32_t)src[s - 2] << 16) | ((uint32_t)src[s - 1] << 24);
+      }
+      length = (uint64_t)x + 1;
+      if (length > dst_len - d || length > n - s) return SN_ERR_CORRUPT;
+      if (!ctx.tag(0, (int64_t)length, (int64_t)s, (int64_t)d))
+        return SN_ERR_BUFFER;
+      s += length;
+      d += length;
+      continue;
+    } else if (tag == 1) {
+      s += 2;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 4 + ((src[s - 2] >> 2) & 7);
+      offset = ((uint64_t)(src[s - 2] & 0xe0) << 3) | src[s - 1];
+    } else if (tag == 2) {
+      s += 3;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 3] >> 2);
+      offset = src[s - 2] | ((uint64_t)src[s - 1] << 8);
+    } else {
+      s += 5;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 5] >> 2);
+      offset = src[s - 4] | ((uint64_t)src[s - 3] << 8) |
+               ((uint64_t)src[s - 2] << 16) | ((uint64_t)src[s - 1] << 24);
+    }
+    if (offset == 0 || d < offset) return SN_ERR_CORRUPT;
+    if (length > dst_len - d) return SN_ERR_CORRUPT;
+    if (!ctx.tag(1, (int64_t)length, (int64_t)offset, (int64_t)d))
+      return SN_ERR_BUFFER;
+    d += length;
+  }
+  if (d != dst_len) return SN_ERR_CORRUPT;
+  if (!ctx.finish()) return SN_ERR_BUFFER;
+  return pack(pieces_buf, rb, trip_cap, meta, starts_out);
 }
 
 // Flat-plan encode-emission planner: derives dependency-free pieces

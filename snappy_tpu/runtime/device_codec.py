@@ -588,11 +588,10 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                     _, p_off, p_len, crc_, dst_len, hdr = chunks[i]
                     scratch = _plan_tls()
                     payload = src_arr[p_off : p_off + p_len]
-                    nt = _native.parse_tags(
-                        payload.tobytes(), hdr, dst_len, scratch[0]
-                    )
-                    g = _native.plan_flat(
-                        scratch[0], nt, payload, _rb,
+                    # fused single-pass parse+plan (validates the tag
+                    # stream exactly as parse_tags; ~1.3x host rate)
+                    g = _native.plan_flat_fused(
+                        payload, hdr, dst_len, _rb,
                         fmeta[row], fstarts[row], scratch[1]
                     )
                     if g is None:

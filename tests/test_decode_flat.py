@@ -421,3 +421,37 @@ def test_aligned_majority_on_corpus(rng):
         tot += g & 0xFFFF
         aligned += g >> 16
     assert aligned / tot > 0.5, f"aligned {aligned}/{tot}"
+
+
+def test_fused_planner_bit_identical_and_validating(rng):
+    """plan_flat_fused (single-pass parse+plan, the production path)
+    must produce bit-identical plans to parse_tags + plan_flat, and
+    must reject corrupt streams exactly like parse_tags."""
+    from snappy_tpu.errors import CorruptError
+
+    meta2 = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
+    starts2 = np.empty((8, VEC), np.int32)
+    pat2 = np.empty(DF.PAT_ROWS * VEC, np.uint8)
+    for i, data in enumerate(_samples(rng)):
+        c = reference.compress(data)
+        dlen, h = read_uvarint(c, 0)
+        cb = np.frombuffer(c, np.uint8)
+        rb = rows_b_for(len(cb))
+        nt = native.parse_tags(c, h, dlen, _TMP)
+        pieces, pat = plan_flat(_TMP, nt, cb)
+        meta_py, starts_py, g_py = _pack(cb, pieces, pat)[:3]
+        g = native.plan_flat_fused(cb, h, dlen, rb, meta2, starts2, pat2)
+        assert g == g_py, f"case {i}"
+        n = g & 0xFFFF
+        assert (meta2[: 8 * n] == meta_py[: 8 * n]).all(), f"case {i}"
+        assert (starts2 == starts_py).all(), f"case {i}"
+    # corruption: truncated copy tag must raise, not plan garbage
+    c = reference.compress(b"corrupt fused probe " * 2000)
+    dlen, h = read_uvarint(c, 0)
+    bad = np.frombuffer(c[:-3], np.uint8)
+    try:
+        native.plan_flat_fused(bad, h, dlen, rows_b_for(len(bad)),
+                               meta2, starts2, pat2)
+        raise AssertionError("truncated stream planned")
+    except CorruptError:
+        pass
