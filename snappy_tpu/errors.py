@@ -46,11 +46,15 @@ class UnsupportedError(SnappyError):
 
 
 class ChecksumError(SnappyError):
-    """A framed chunk's masked CRC-32C does not match its payload."""
+    """A framed chunk's masked CRC-32C does not match its payload.
 
-    def __init__(self, expected: int = 0, actual: int = 0):
+    actual=None means the verifier reported only the mismatch, not the
+    recomputed value (the device CRC kernel returns an error flag)."""
+
+    def __init__(self, expected: int = 0, actual: int | None = 0):
+        got = "device verify failed" if actual is None else f"computed 0x{actual:08x}"
         super().__init__(
-            f"snappy: checksum mismatch (stored 0x{expected:08x}, computed 0x{actual:08x})"
+            f"snappy: checksum mismatch (stored 0x{expected:08x}, {got})"
         )
         self.expected = expected
         self.actual = actual

@@ -745,7 +745,7 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                     continue  # already decoded on host in the batch loop
                 code = int(err_h[row])
                 if code == 100:
-                    raise ChecksumError(chunks[i][3], 0)
+                    raise ChecksumError(chunks[i][3], None)
                 if code != decode_jnp.ERR_NONE:
                     if engine == "pallas":
                         # pallas err codes are coarse flags: re-decode on
