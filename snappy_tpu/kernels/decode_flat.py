@@ -74,7 +74,10 @@ PAT_ROWS = 576       # mirror side-buffer rows: disjoint ascending runs
                      # 64 rows absorb the phase-alignment pads (<= 127 B
                      # per run) so big runs can still align
 OUT_ROWS = 520       # 64 KiB output + slack, multiple of 8
-TRIP_CAP = 96        # device trips per block (fallback past this)
+TRIP_CAP = 48        # device trips per block (fallback past this).
+                     # Corpus plans run 2-3 trips; halving the cap from
+                     # 96 halves the meta panel's VMEM + DMA per block
+                     # (the budget that bounds the kernel's group size)
 
 # Emissions >= DIRECT_T whose bytes exist verbatim in the payload
 # (literals, and copies sourced inside one literal) become direct
