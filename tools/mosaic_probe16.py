@@ -11,6 +11,10 @@ are NOT checked for the ablated variants — timing only):
               a static-position plain store (isolates the RMW cost)
   nocompose — noroll1g minus the compose matmul AND the RMW (gather +
               mask only; isolates gather cost)
+  noslice   — noroll1g with STATIC window starts (S=0; wrong bytes,
+              isolates the dynamic-start b_ref slice cost)
+  noscal    — noroll1g with no starts-plane read at all (S=0, D from
+              loop index; isolates the scalar plumbing cost)
   empty     — meta/starts reads only (loop + scalar-plumbing floor)
 
 Usage: python tools/mosaic_probe16.py [B] [trips]
@@ -76,9 +80,16 @@ def make_kernel(variant: str, group: int):
                     return c
                 for s in range(NSUB):
                     w = sr[0, s]
-                    S = w & 1023
-                    Ds.append(jax.lax.shift_right_logical(w, 10) * VEC)
-                    bwin = b_ref[g, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
+                    if variant == "noscal":
+                        S = jnp.int32(0)
+                        Ds.append(((i + s) & 3) * VEC)
+                    else:
+                        S = w & 1023
+                        Ds.append(jax.lax.shift_right_logical(w, 10) * VEC)
+                    if variant in ("noslice", "noscal"):
+                        bwin = b_ref[g, 0:W_ROWS, :].astype(jnp.bfloat16)
+                    else:
+                        bwin = b_ref[g, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
                     a_col = jnp.transpose(mrow[s:s + 1, :], (1, 0))
                     b_col = jnp.transpose(mrow[NSUB + s:NSUB + s + 1, :], (1, 0))
                     qrel = a_col & 127
@@ -95,7 +106,7 @@ def make_kernel(variant: str, group: int):
                         rs0, bwin, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     phi = (VEC - rot) & (VEC - 1)
-                    if variant in ("noroll1g", "normw", "nocompose"):
+                    if variant in ("noroll1g", "normw", "nocompose", "noslice", "noscal"):
                         v = u0
                     else:
                         rs1 = (lane_w == qrel + 1).astype(jnp.bfloat16)
@@ -201,7 +212,7 @@ print(f"devices: {jax.devices()}", flush=True)
 args = tuple(map(jax.device_put, (ntr, b_i32, starts, meta)))
 
 combine = jax.jit(lambda x: jnp.sum(x))
-for variant in ("full", "noroll", "noroll1g", "mmshift", "normw", "nocompose", "empty"):
+for variant in ("full", "noroll", "noroll1g", "mmshift", "normw", "nocompose", "noslice", "noscal", "empty"):
     t0 = time.time()
     out = run(*args, variant=variant, group=GROUP)
     float(np.asarray(combine(out)).item())
