@@ -211,7 +211,10 @@ ntr, b_i32, meta, starts = synth(B, TRIPS, rng)
 print(f"devices: {jax.devices()}", flush=True)
 args = tuple(map(jax.device_put, (ntr, b_i32, starts, meta)))
 
-combine = jax.jit(lambda x: jnp.sum(x))
+# ONE fused sync per measurement (the relay's per-sync floor is ~5-30 ms
+# — syncing per call hides every variant delta; r2 measurement gotcha)
+combine = jax.jit(lambda *xs: sum(jnp.sum(x) for x in xs))
+NCALL = 8
 for variant in ("full", "noroll", "noroll1g", "mmshift", "normw", "nocompose", "noslice", "noscal", "empty"):
     t0 = time.time()
     out = run(*args, variant=variant, group=GROUP)
@@ -220,10 +223,10 @@ for variant in ("full", "noroll", "noroll1g", "mmshift", "normw", "nocompose", "
     times = []
     for _ in range(4):
         t0 = time.perf_counter()
-        outs = [run(*args, variant=variant, group=GROUP) for _ in range(4)]
-        for o in outs:
-            float(np.asarray(combine(o)).item())
-        times.append((time.perf_counter() - t0) / 4)
+        outs = [run(*args, variant=variant, group=GROUP)
+                for _ in range(NCALL)]
+        float(np.asarray(combine(*outs)).item())
+        times.append((time.perf_counter() - t0) / NCALL)
     best = min(times)
     ns_trip = best / (B * TRIPS) * 1e9
     print(f"{variant:10s} {best*1e3:8.2f} ms/call  {best/B*1e6:7.2f} us/block"
