@@ -83,7 +83,15 @@ TRIP_CAP = 48        # device trips per block (fallback past this).
 # (literals, and copies sourced inside one literal) become direct
 # payload gathers; everything else rides mirrored runs.  Measured on the
 # bench corpus: pieces/block 10744 -> 513 (~1 device trip).
-DIRECT_T = 32
+#
+# The threshold is sized for the packer's ROT-HOMOGENEOUS subpanels: a
+# direct gather lands at an arbitrary phase, so each distinct literal
+# costs its own rotation group — worth it only when the literal spans
+# many same-rot full rows.  Below the threshold the bytes ride the
+# mirror instead, where the planner phase-aligns them for the roll-free
+# aligned trip class (a 40 B-literal corpus fragmented into 75+ trips
+# under DIRECT_T=32; see test_many_distinct_overlapping_copy_runs).
+DIRECT_T = 4096
 
 
 def rows_b_for(cmax: int) -> int:
@@ -159,11 +167,12 @@ def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
         # phase-align the run in the mirror: pad so the mirror address
         # is congruent to the destination mod 128.  Every piece of the
         # run then has rot == 0, which lets the kernel route it through
-        # the roll-free trip class (the 7-step barrel shifter is the
-        # dominant per-trip latency).
+        # the roll-free trip class AND keeps subpanels dense (unaligned
+        # runs each cost a rotation group under the rot-homogeneous
+        # packer).  Align whenever the mirror has room for the pad.
         pad = (run_start - (pat_base0 + mirror_used)) % VEC
-        if pad <= ln and mirror_used + pad + ln <= PAT_ROWS * VEC:
-            mirror_used += pad  # best-effort: tiny runs stay unaligned
+        if mirror_used + pad + ln <= PAT_ROWS * VEC:
+            mirror_used += pad
         if mirror_used + ln > PAT_ROWS * VEC:
             return False
         pat[mirror_used : mirror_used + ln] = dec[run_start:run_end]
@@ -229,9 +238,16 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
     leading trips, rot == 0 pieces (phase-aligned mirror runs — the
     planner aligns them on purpose) into the trailing trips, padded to
     a trip boundary between the classes.  The kernel runs the trailing
-    trips through a roll-free body (no barrel shifter, no second row
-    gather) — the dominant per-trip latency removed for the aligned
-    majority.
+    trips through a roll-free body (no rotation, no second row gather).
+
+    Within the rot class, subpanels are additionally ROT-HOMOGENEOUS:
+    every piece of a subpanel shares one rotation, carried in the
+    subpanel's starts word — the kernel applies it as a SINGLE
+    dynamic-shift ``pltpu.roll`` instead of a per-piece 7-step masked
+    barrel shifter (the dominant rot-trip latency, ~1.2 us/trip
+    measured; tools/mosaic_probe16).  Long literals' pieces share one
+    rotation by construction (consecutive rows, one phase), so the
+    extra grouping fragments little.
 
     Returns (meta int32[2*NSUB*trip_cap, 128], starts int32[8, 128],
     packed) or None if more than trip_cap trips are needed, where
@@ -240,7 +256,7 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
     body.  Layout: trip t rows [2*NSUB*t .. +NSUB) hold the A words of
     subpanels 0..3 (qrel | rot<<7), rows [.. +2*NSUB) the B words
     (dphi | lenm1<<7 | drel<<14 | _VALID); subpanel s's packed
-    (S | dbin<<10) word lives at starts[t>>5, (t&31)*4+s].
+    (S | dbin<<10 | rot<<13) word lives at starts[t>>5, (t&31)*4+s].
     """
     P = len(pieces)
     meta = np.zeros((2 * NSUB * trip_cap, VEC), dtype=np.int32)
@@ -261,9 +277,11 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
     dbin = drow >> 7
     cls = (rot == 0).astype(np.int32)  # rot pieces first, aligned last
 
-    order = np.lexsort((q, dbin, cls))
+    order = np.lexsort((q, dbin, rot, cls))
     q_s = q[order]
-    dbin_s = dbin[order]
+    # subpanel grouping key: (rot, dbin) homogeneous (rot < 128,
+    # dbin < 8); within the aligned class rot == 0 so gk == dbin
+    gk_s = (rot[order] << 3) | dbin[order]
     R = int(P - cls.sum())  # index of the first aligned piece
 
     n_sub = 0
@@ -278,10 +296,10 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
         S = int(q_s[i])
         if S + W_ROWS > rb:
             S = rb - W_ROWS
-        bn = int(dbin_s[i])
+        g0 = int(gk_s[i])
         cls_end = R if i < R else P
-        # dbin ascends only within a class segment
-        bin_end = i + int(np.searchsorted(dbin_s[i:cls_end], bn, side="right"))
+        # (rot, dbin) ascends only within a class segment
+        bin_end = i + int(np.searchsorted(gk_s[i:cls_end], g0, side="right"))
         j = min(i + VEC, P, bin_end)
         # shrink subpanel until every piece's row pair fits the window
         while j > i and int(q_s[j - 1]) - S > W_ROWS - 2:
@@ -295,7 +313,9 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
         ).astype(np.int32)
         meta[2 * NSUB * t + s, :k] = a_words
         meta[2 * NSUB * t + NSUB + s, :k] = b_words
-        starts[t >> 5, (t & 31) * 4 + s] = S | (bn << 10)
+        starts[t >> 5, (t & 31) * 4 + s] = (
+            S | ((g0 & 7) << 10) | ((g0 >> 3) << 13)
+        )
         n_sub += 1
         if i < R:
             rot_subs = n_sub
@@ -317,7 +337,7 @@ def execute_flat_np(meta: np.ndarray, starts: np.ndarray, n_trips: int,
         for s in range(NSUB):
             w = int(starts[t >> 5, (t & 31) * 4 + s])
             S = w & 1023
-            D = (w >> 10) << 7
+            D = ((w >> 10) & 7) << 7
             for k in range(VEC):
                 a = int(meta[2 * NSUB * t + s, k])
                 bw = int(meta[2 * NSUB * t + NSUB + s, k])
@@ -354,17 +374,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool,
+def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, rot_u=None,
                      aligned: bool = False):
-    """One 128-piece subpanel's one-hot row gather + pre-shift merge.
-    Returns (v (128,128) f32 unrotated [or rotated when use_take],
-    rot col, mask, drel (1,128)).  aligned=True asserts every piece has
-    rot == 0 (pack_trips' trailing trip class): the second row gather
-    and the phase select are skipped entirely."""
+    """One 128-piece subpanel's one-hot row gather + phase merge.
+    Returns (v (128,128) f32 still to be rolled by the subpanel's
+    uniform rotation, mask, drel (1,128)).  aligned=True asserts every
+    piece has rot == 0 (pack_trips' trailing trip class): the second
+    row gather and the phase select are skipped entirely.  rot_u is
+    the subpanel's uniform rotation scalar (pack_trips packs subpanels
+    rot-homogeneous; the caller applies one dynamic-shift roll)."""
     a_col = jnp.transpose(mrow_a, (1, 0))            # (128,1)
     b_col = jnp.transpose(mrow_b, (1, 0))
     qrel = a_col & 127
-    rot = jax.lax.shift_right_logical(a_col, 7) & 127
     dphi = b_col & 127
     lenm1 = jax.lax.shift_right_logical(b_col, 7) & 127
     valid = (b_col & _VALID) != 0
@@ -376,26 +397,17 @@ def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, use_take: bool,
                              preferred_element_type=jnp.float32)
     mask = valid & (lane_p >= dphi) & (lane_p - dphi <= lenm1)
     if aligned:
-        return u0, rot, mask, drel
+        return u0, mask, drel
     rs1 = (lane_w == qrel + 1).astype(jnp.bfloat16)
     u1 = jax.lax.dot_general(rs1, bwin_bf, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    phi = (VEC - rot) & (VEC - 1)
-    if use_take:
-        # per-piece lane alignment as a single lane gather (measured
-        # ~129 us per (128,128) call — scalar lowering; kept only as a
-        # reference formulation, never the default)
-        idx = (phi + lane_p) & (VEC - 1)
-        t0 = jnp.take_along_axis(u0, idx, axis=1)
-        t1 = jnp.take_along_axis(u1, idx, axis=1)
-        v = jnp.where(phi + lane_p < VEC, t0, t1)
-    else:
-        v = jnp.where(lane_p >= phi, u0, u1)
-    return v, rot, mask, drel
+    phi = (VEC - rot_u) & (VEC - 1)
+    v = jnp.where(lane_p >= phi, u0, u1)
+    return v, mask, drel
 
 
 def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
-                 *, use_take: bool, out_rows: int, group: int):
+                 *, out_rows: int, group: int):
     # Formulation constraints (measured, tools/mosaic_probe9/10/12/13):
     # B is i32 in VMEM (8-sublane tile -> arbitrary dynamic window
     # starts compile; bf16 refs with unaligned dyn starts do not),
@@ -404,10 +416,11 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
     # extracts (dynamic-index SMEM scalar reads do not compile), rolls
     # stay f32 (bf16 pltpu.roll is rejected), and the compose stays
     # per-subpanel (the (128,512) one-hot compose is rejected in situ).
-    # The 7-step barrel shifters of the 4 subpanels are round-robined
-    # so their serial roll chains overlap (probe13: 1.8x per trip).
-    # `group` blocks share one grid step: the ~8 us/step fixed cost
-    # (tools/mosaic_probe15.py — DMA-volume-independent) amortizes.
+    # Subpanels are rot-homogeneous (pack_trips), so lane alignment is
+    # ONE dynamic-shift pltpu.roll per subpanel — the per-piece 7-step
+    # masked barrel shifter it replaced cost ~1.2 us/trip
+    # (tools/mosaic_probe16 at B=1024).  `group` blocks share one grid
+    # step to amortize the per-step fixed cost (tools/mosaic_probe15).
     blk = pl.program_id(0)
     lane_p = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 0)
@@ -427,28 +440,25 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
                 sr = pltpu.roll(
                     srow, shift=(VEC - ((i & 31) * NSUB)) & (VEC - 1), axis=1)
                 mrow = meta_ref[g, pl.ds(2 * NSUB * i, 2 * NSUB), :]
-                vs, rots, masks, drels, Ds = [], [], [], [], []
+                vs, masks, drels, Ds = [], [], [], []
                 for s in range(NSUB):
                     w = sr[0, s]
                     S = w & 1023
-                    Ds.append(jax.lax.shift_right_logical(w, 10) * VEC)
+                    Ds.append((jax.lax.shift_right_logical(w, 10) & 7) * VEC)
+                    rot_u = jax.lax.shift_right_logical(w, 13) & 127
                     bwin = b_ref[g, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
-                    v, rot, mask, drel = _subpanel_gather(
-                        mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
-                        bwin, lane_p, use_take, aligned=aligned)
+                    if aligned:
+                        v, mask, drel = _subpanel_gather(
+                            mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
+                            bwin, lane_p, aligned=True)
+                    else:
+                        v, mask, drel = _subpanel_gather(
+                            mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
+                            bwin, lane_p, rot_u=rot_u)
+                        v = pltpu.roll(v, shift=rot_u, axis=1)
                     vs.append(v)
-                    rots.append(rot)
                     masks.append(mask)
                     drels.append(drel)
-                if not aligned and not use_take:
-                    # interleaved barrel shifters: independent chains overlap
-                    for k in range(7):
-                        for s in range(NSUB):
-                            bit = (jax.lax.shift_right_logical(rots[s], k)
-                                   & 1) == 1
-                            vs[s] = jnp.where(
-                                bit, pltpu.roll(vs[s], shift=1 << k, axis=1),
-                                vs[s])
                 for s in range(NSUB):
                     mk = jnp.where(masks[s], vs[s], 0.0)
                     # one-hot compose matmul scatters the 128 masked piece
@@ -473,9 +483,9 @@ GROUP = 4  # blocks per grid step (amortizes the ~8 us/step fixed cost)
 
 def decode_blocks_flat(b_u8, meta, starts, ntrips, dst_max: int,
                        interpret: bool | None = None,
-                       use_take: bool = False,
                        out_rows: int = OUT_ROWS,
-                       group: int | None = None):
+                       group: int | None = None,
+                       raw_out: bool = False):
     """Execute packed flat plans on device.
 
     b_u8: uint8[B, rb*128] host-built B buffers (build_b_bytes), or
@@ -492,15 +502,16 @@ def decode_blocks_flat(b_u8, meta, starts, ntrips, dst_max: int,
     if group is None:
         group = GROUP
     return _flat_jit(b_u8, meta, starts, ntrips, dst_max=dst_max,
-                     interpret=interpret, use_take=use_take,
-                     out_rows=out_rows, group=group)
+                     interpret=interpret,
+                     out_rows=out_rows, group=group, raw_out=raw_out)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dst_max", "interpret", "use_take",
-                                    "out_rows", "group"))
+                   static_argnames=("dst_max", "interpret",
+                                    "out_rows", "group", "raw_out"))
 def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
-              use_take: bool, out_rows: int, group: int):
+              out_rows: int, group: int,
+              raw_out: bool = False):
     if b_u8.ndim == 3:  # pre-cast int32 (B, rb, VEC)
         b_i32 = b_u8
         B, rb, _ = b_u8.shape
@@ -532,12 +543,14 @@ def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
                                memory_space=pltpu.VMEM),
     )
     out3 = pl.pallas_call(
-        functools.partial(_flat_kernel, use_take=use_take,
+        functools.partial(_flat_kernel,
                           out_rows=out_rows, group=group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, out_rows, VEC), jnp.float32),
         interpret=interpret,
     )(ntrips, b_i32, starts, meta)
+    if raw_out:  # bench ablation: f32 panel as-is (holds exact 0..255)
+        return out3[:B]
     # one cast pass: the f32 panel holds exact integers 0..255
     out = out3.astype(jnp.uint8).reshape(Bp, out_rows * VEC)
     return out[:B, :dst_max]

@@ -20,7 +20,7 @@ to burn per chunk IS the planning pass here.
 B-buffer row layout (B = one block's gather source, uint8 rows of 128):
   row 0          zero pad (piece sources may reach left of the input)
   rows 1..512    the input block (64 KiB span, zero-padded)
-  rows 513..928  tag buffer (TAG_ROWS rows)
+  rows 513..1025 tag buffer (TAG_ROWS rows)
   last rows      guard + sublane-tile rounding
 """
 
@@ -52,7 +52,10 @@ SRC_SPAN = 65536           # input block span in B (bytes)
 # measured floor — so the encode caps are sized for the realistic
 # envelope, not the format's worst case.  Overflow falls back to the
 # host emission, which the planning pass computed anyway (free).
-TAG_ROWS = 256             # tag buffer rows (32 KiB)
+TAG_ROWS = 512             # tag buffer rows (64 KiB: the planner's
+                           # first inline rung routes literals <= 1024 B
+                           # through the aligned tag segment, so the
+                           # buffer is sized for mostly-inlined blocks)
 ENC_TRIP_CAP = 24          # device trips per block (12288 pieces)
 
 # pad row + input span + tag rows + guard, rounded to the int32 tile

@@ -662,7 +662,11 @@ static const int kVec = 128;
 static const int kNsub = 4;
 static const int kWRows = 128;
 static const int kPatRows = 576;  // 512 data rows + alignment-pad slack
-static int g_direct_t = 32;  // sn_set_direct_t (experiments/tests)
+// Direct-gather threshold: below it bytes ride the phase-aligned
+// mirror — a direct gather costs its own rotation group under the
+// rot-homogeneous packer, worth it only for long literals (many
+// same-rot rows).  Mirrors kernels.decode_flat.DIRECT_T.
+static int g_direct_t = 4096;  // sn_set_direct_t (experiments/tests)
 static const int kPatPeriodMax = 63;
 static const int32_t kValid = 1 << 21;
 
@@ -670,28 +674,34 @@ struct Piece {
   int32_t b, dst, len;
 };
 
-// Shared packer: stable counting sort on (rot class, dst bin, source
-// row), greedy subpanel packing (mirrors kernels.decode_flat.
+// Shared packer: stable counting sort on (rot class, rot, dst bin,
+// source row), greedy subpanel packing (mirrors kernels.decode_flat.
 // pack_trips).  Trips are class-homogeneous: rot != 0 pieces pack into
 // the leading trips, phase-aligned (rot == 0) pieces into the trailing
 // trips, padded to a trip boundary between the classes — the kernel
-// runs the trailing trips through a roll-free body.  Returns
-// n_trips | (n_aligned_trips << 16), or SN_ERR_BUFFER past trip_cap.
+// runs the trailing trips through a roll-free body.  Subpanels are
+// additionally ROT-HOMOGENEOUS: the shared rotation rides the starts
+// word and the kernel applies it as ONE dynamic-shift roll (the
+// per-piece barrel shifter it replaced was the dominant rot-trip
+// latency).  Returns n_trips | (n_aligned_trips << 16), or
+// SN_ERR_BUFFER past trip_cap.
 static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
                     int64_t trip_cap, int32_t* meta, int32_t* starts_out) {
   const int64_t Pn = (int64_t)pieces.size();
   memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
   if (Pn == 0) return 0;
-  static thread_local std::vector<int32_t> order, q, rot, dphi, drow, dbin;
+  static thread_local std::vector<int32_t> order, order2, q, rot, dphi, drow,
+      dbin;
   order.resize(Pn);
+  order2.resize(Pn);
   q.resize(Pn);
   rot.resize(Pn);
   dphi.resize(Pn);
   drow.resize(Pn);
   dbin.resize(Pn);
-  // key = cls*6*2048 + dbin*2048 + q (q < rb <= 2048, dbin <= 5,
-  // cls in {0: rot != 0, 1: aligned}): stable and O(P)
-  int32_t hist[2 * 6 * 2048 + 1];
+  // pass 1: stable counting sort on (dbin, q) (q < rb <= 2048,
+  // dbin <= 5)
+  int32_t hist[6 * 2048 + 1];
   memset(hist, 0, sizeof(hist));
   for (int64_t i = 0; i < Pn; i++) {
     const Piece& pc = pieces[i];
@@ -702,15 +712,26 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
     rot[i] = (kVec - (base & (kVec - 1))) & (kVec - 1);
     drow[i] = pc.dst >> 7;
     dbin[i] = drow[i] >> 7;
-    int32_t key = (rot[i] == 0 ? 6 * 2048 : 0) + dbin[i] * 2048 + q[i];
-    hist[key + 1]++;
+    hist[dbin[i] * 2048 + q[i] + 1]++;
   }
-  for (int k = 1; k <= 2 * 6 * 2048; k++) hist[k] += hist[k - 1];
+  for (int k = 1; k <= 6 * 2048; k++) hist[k] += hist[k - 1];
+  for (int64_t i = 0; i < Pn; i++)
+    order2[hist[dbin[i] * 2048 + q[i]]++] = (int32_t)i;
+  // pass 2: stable counting sort on rkey (rot, with rot == 0 LAST:
+  // the aligned class trails) — final order (cls, rot, dbin, q)
+  int32_t rhist[130];
+  memset(rhist, 0, sizeof(rhist));
   int64_t R = 0;  // index of the first aligned piece in order[]
   for (int64_t i = 0; i < Pn; i++) {
-    int32_t key = (rot[i] == 0 ? 6 * 2048 : 0) + dbin[i] * 2048 + q[i];
-    order[hist[key]++] = (int32_t)i;
+    int32_t rk = rot[i] == 0 ? 128 : rot[i];
+    rhist[rk + 1]++;
     if (rot[i] != 0) R++;
+  }
+  for (int k = 1; k <= 129; k++) rhist[k] += rhist[k - 1];
+  for (int64_t i = 0; i < Pn; i++) {
+    int32_t idx = order2[i];
+    int32_t rk = rot[idx] == 0 ? 128 : rot[idx];
+    order[rhist[rk]++] = idx;
   }
 
   int64_t n_sub = 0, rot_subs = 0, i = 0;
@@ -725,9 +746,12 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
     int32_t S = q[order[i]];
     if (S + kWRows > rb) S = (int32_t)(rb - kWRows);
     int32_t bn = dbin[order[i]];
+    int32_t r0 = rot[order[i]];
     int64_t cls_end = i < R ? R : Pn;
     int64_t bin_end = i;
-    while (bin_end < cls_end && dbin[order[bin_end]] == bn) bin_end++;
+    while (bin_end < cls_end && dbin[order[bin_end]] == bn &&
+           rot[order[bin_end]] == r0)
+      bin_end++;
     int64_t j = i + kVec < Pn ? i + kVec : Pn;
     if (j > bin_end) j = bin_end;
     while (j > i && q[order[j - 1]] - S > kWRows - 2) j--;
@@ -739,7 +763,8 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
           dphi[idx] | ((pieces[idx].len - 1) << 7) | ((drow[idx] & 127) << 14) |
           kValid;
     }
-    starts_out[(t >> 5) * kVec + (t & 31) * 4 + s] = S | (bn << 10);
+    starts_out[(t >> 5) * kVec + (t & 31) * 4 + s] =
+        S | (bn << 10) | (r0 << 13);
     n_sub++;
     if (i < R) rot_subs = n_sub;
     i = j;
@@ -785,11 +810,12 @@ struct Ctx {
   bool flush_run() {
     if (run_start < 0) return true;
     int64_t ln = run_end - run_start;
-    // best-effort phase alignment (mirrors plan_flat.flush_run):
-    // rot==0 pieces ride the kernel's roll-free trip class
+    // phase alignment (mirrors plan_flat.flush_run): rot==0 pieces
+    // ride the kernel's roll-free trip class and keep rot-homogeneous
+    // subpanels dense — align whenever the mirror has room for the pad
     int64_t pad =
         ((run_start - (pat_base0 + mirror_used)) % kVec + kVec) % kVec;
-    if (pad <= ln && mirror_used + pad + ln <= (int64_t)kPatRows * kVec)
+    if (mirror_used + pad + ln <= (int64_t)kPatRows * kVec)
       mirror_used += pad;
     if (mirror_used + ln > (int64_t)kPatRows * kVec) return false;
     memcpy(pat_out + mirror_used, dec + run_start, (size_t)ln);
@@ -1013,7 +1039,14 @@ int64_t sn_plan_flat_enc(const int32_t* rec, uint64_t n_tags,
 
   static thread_local std::vector<Piece> pieces;
 
-  for (int inline_lit = 24; inline_lit >= 0; inline_lit -= 24) {
+  // Inline-literal ladder: literals <= the threshold ride the aligned
+  // tag segment (phase-aligned, rot == 0) instead of gathering from
+  // the input at their own rotation — under the rot-homogeneous packer
+  // each distinct non-inlined literal costs a rotation group, so the
+  // first rung inlines aggressively; overflow of the tag buffer
+  // retries with the cheaper rungs.
+  static const int kInlineLadder[] = {1024, 24, 0};
+  for (int inline_lit : kInlineLadder) {
     pieces.clear();
     int64_t tag_used = 0, seg_start = 0;
     bool overflow = false;
@@ -1030,11 +1063,11 @@ int64_t sn_plan_flat_enc(const int32_t* rec, uint64_t n_tags,
     auto flush_seg = [&](int64_t upto) -> bool {
       int64_t seg = upto - seg_start;
       if (seg <= 0) return true;
-      // best-effort phase alignment (kTagBase % 128 == 0): aligned
-      // segments ride the kernel's roll-free trip class
+      // phase alignment (kTagBase % 128 == 0): aligned segments ride
+      // the kernel's roll-free trip class and keep rot-homogeneous
+      // subpanels dense — align whenever the tag buffer has room
       int64_t pad = ((seg_start - tag_used) % kVec + kVec) % kVec;
-      if (pad <= seg && tag_used + pad + seg <= (int64_t)tag_cap)
-        tag_used += pad;
+      if (tag_used + pad + seg <= (int64_t)tag_cap) tag_used += pad;
       if (tag_used + seg > (int64_t)tag_cap) return false;
       memcpy(tagbuf + tag_used, comp + seg_start, seg);
       emit(kTagBase + tag_used, seg_start, seg);
