@@ -49,13 +49,17 @@ class ChecksumError(SnappyError):
     """A framed chunk's masked CRC-32C does not match its payload.
 
     actual=None means the verifier reported only the mismatch, not the
-    recomputed value (the device CRC kernel returns an error flag)."""
+    recomputed value (the device CRC kernel returns an error flag;
+    the native decoder reports only the error code).  expected=None
+    means the stored value was not surfaced either."""
 
-    def __init__(self, expected: int = 0, actual: int | None = 0):
-        got = "device verify failed" if actual is None else f"computed 0x{actual:08x}"
-        super().__init__(
-            f"snappy: checksum mismatch (stored 0x{expected:08x}, {got})"
-        )
+    def __init__(self, expected: int | None = None,
+                 actual: int | None = None):
+        stored = ("stored value not surfaced" if expected is None
+                  else f"stored 0x{expected:08x}")
+        got = ("verifier reported mismatch only" if actual is None
+               else f"computed 0x{actual:08x}")
+        super().__init__(f"snappy: checksum mismatch ({stored}, {got})")
         self.expected = expected
         self.actual = actual
 

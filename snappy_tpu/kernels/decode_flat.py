@@ -374,15 +374,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, rot_u=None,
+def _subpanel_gather(mrow_a, mrow_b, bwin_i32, lane_p, rot_u=None,
                      aligned: bool = False):
-    """One 128-piece subpanel's one-hot row gather + phase merge.
-    Returns (v (128,128) f32 still to be rolled by the subpanel's
-    uniform rotation, mask, drel (1,128)).  aligned=True asserts every
-    piece has rot == 0 (pack_trips' trailing trip class): the second
-    row gather and the phase select are skipped entirely.  rot_u is
-    the subpanel's uniform rotation scalar (pack_trips packs subpanels
-    rot-homogeneous; the caller applies one dynamic-shift roll)."""
+    """One 128-piece subpanel's one-hot row gather.
+    Returns (v (128,128) f32 gathered source bytes, mask, drel (1,128)).
+    aligned=True asserts every piece has rot == 0 (pack_trips' trailing
+    trip class).  For the rot class, rot_u is the subpanel's uniform
+    rotation (pack_trips packs subpanels rot-homogeneous): instead of
+    gathering the row PAIR with two matmuls and rolling the result, the
+    WINDOW itself is pre-shifted by the uniform phase — one dynamic
+    lane roll + one static sublane roll + lane select, all off the
+    gather's result chain — so both classes take a single gather
+    matmul: w_shift[r, l] = B[(S+r)*128 + phi + l], v[p] =
+    w_shift[qrel[p]]."""
     a_col = jnp.transpose(mrow_a, (1, 0))            # (128,1)
     b_col = jnp.transpose(mrow_b, (1, 0))
     qrel = a_col & 127
@@ -390,19 +394,21 @@ def _subpanel_gather(mrow_a, mrow_b, bwin_bf, lane_p, rot_u=None,
     lenm1 = jax.lax.shift_right_logical(b_col, 7) & 127
     valid = (b_col & _VALID) != 0
     drel = jax.lax.shift_right_logical(mrow_b, 14) & 127   # (1,128)
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (VEC, W_ROWS), 1)
-    # one-hot row gather of every piece's source row (pair) (MXU)
-    rs0 = (lane_w == qrel).astype(jnp.bfloat16)
-    u0 = jax.lax.dot_general(rs0, bwin_bf, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
     mask = valid & (lane_p >= dphi) & (lane_p - dphi <= lenm1)
     if aligned:
-        return u0, mask, drel
-    rs1 = (lane_w == qrel + 1).astype(jnp.bfloat16)
-    u1 = jax.lax.dot_general(rs1, bwin_bf, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    phi = (VEC - rot_u) & (VEC - 1)
-    v = jnp.where(lane_p >= phi, u0, u1)
+        w = bwin_i32
+    else:
+        # rolls stay i32 (bf16 pltpu.roll is rejected); rot_u in 1..127
+        a = pltpu.roll(bwin_i32, shift=rot_u, axis=1)
+        a_up = pltpu.roll(a, shift=W_ROWS - 1, axis=0)   # a[(r+1) % W]
+        lane_w2 = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, VEC), 1)
+        w = jnp.where(lane_w2 < rot_u, a, a_up)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (VEC, W_ROWS), 1)
+    # one-hot row gather of every piece's (pre-shifted) source row (MXU)
+    rs0 = (lane_w == qrel).astype(jnp.bfloat16)
+    v = jax.lax.dot_general(rs0, w.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     return v, mask, drel
 
 
@@ -417,9 +423,14 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
     # stay f32 (bf16 pltpu.roll is rejected), and the compose stays
     # per-subpanel (the (128,512) one-hot compose is rejected in situ).
     # Subpanels are rot-homogeneous (pack_trips), so lane alignment is
-    # ONE dynamic-shift pltpu.roll per subpanel — the per-piece 7-step
-    # masked barrel shifter it replaced cost ~1.2 us/trip
-    # (tools/mosaic_probe16 at B=1024).  `group` blocks share one grid
+    # applied to the WINDOW, not the gather result: one dynamic lane
+    # roll + one static sublane roll + select pre-shift the window by
+    # the subpanel's uniform phase, and a SINGLE gather matmul replaces
+    # the row-pair gather (two matmuls + result roll) — the rot body
+    # drops to the aligned body's matmul count, and the rolls sit off
+    # the gather's dependency chain.  (The per-piece 7-step barrel
+    # shifter this lineage replaced cost ~1.2 us/trip;
+    # tools/mosaic_probe16 at B=1024.)  `group` blocks share one grid
     # step to amortize the per-step fixed cost (tools/mosaic_probe15).
     blk = pl.program_id(0)
     lane_p = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 1)
@@ -446,7 +457,7 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
                     S = w & 1023
                     Ds.append((jax.lax.shift_right_logical(w, 10) & 7) * VEC)
                     rot_u = jax.lax.shift_right_logical(w, 13) & 127
-                    bwin = b_ref[g, pl.ds(S, W_ROWS), :].astype(jnp.bfloat16)
+                    bwin = b_ref[g, pl.ds(S, W_ROWS), :]
                     if aligned:
                         v, mask, drel = _subpanel_gather(
                             mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
@@ -455,7 +466,6 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
                         v, mask, drel = _subpanel_gather(
                             mrow[s:s + 1, :], mrow[NSUB + s:NSUB + s + 1, :],
                             bwin, lane_p, rot_u=rot_u)
-                        v = pltpu.roll(v, shift=rot_u, axis=1)
                     vs.append(v)
                     masks.append(mask)
                     drels.append(drel)
