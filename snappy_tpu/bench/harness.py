@@ -251,6 +251,8 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
 
         pool = ThreadPoolExecutor(4)
         dec_ok = enc_ok = 0
+        flat_raw = []
+        flat_enc_raw = []
 
         for k in range(flat_nb):
             b_u8 = np.zeros((B, _f_rb * 128), np.uint8)
@@ -291,17 +293,35 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             for d_ok, e_ok in pool.map(_stage_row, range(B)):
                 dec_ok += d_ok
                 enc_ok += e_ok
-            # pre-cast i32 staging (skips a full-HBM cast pass per call)
-            flat_args.append(tuple(map(jax.device_put, (
-                b_u8.astype(np.int32).reshape(B, -1, 128), fmeta, fst, ntr
-            ))))
-            flat_enc_args.append(tuple(map(jax.device_put, (
-                eb_u8.astype(np.int32).reshape(B, -1, 128), efmeta, efst,
-                entr
-            ))))
+            flat_raw.append((b_u8, fmeta, fst, ntr))
+            flat_enc_raw.append((eb_u8, efmeta, efst, entr))
         pool.shutdown()
         flat_dec_bytes = dec_ok
         flat_enc_bytes = enc_ok
+
+        # global trim: plans average ~2 trips but the staging arrays are
+        # cap-sized, so most per-grid-step DMA would be zero padding.
+        # Slice meta to the corpus's max trip count and the B panel to
+        # the max window extent (every source read goes through a
+        # [S, S+128) window, so max(S)+128 rows bound it), identically
+        # across batches (one compiled shape).  Pre-cast i32 (skips a
+        # full-HBM cast pass per call).
+        def _trim_put(raw):
+            mrows = 8 * max(1, max(int((r[3] & 0xFFFF).max()) for r in raw))
+            rb_u = max((int((r[2] & 1023).max()) + 128 + 7) & ~7 for r in raw)
+            return [
+                tuple(map(jax.device_put, (
+                    np.ascontiguousarray(b[:, : rb_u * 128])
+                    .astype(np.int32).reshape(B, rb_u, 128),
+                    np.ascontiguousarray(m[:, :mrows]), s, n,
+                )))
+                for b, m, s, n in raw
+            ]
+
+        if flat_raw:
+            flat_args = _trim_put(flat_raw)
+            flat_enc_args = _trim_put(flat_enc_raw)
+            del flat_raw, flat_enc_raw
 
     def run_decode_flat():
         from snappy_tpu.kernels.decode_flat import decode_blocks_flat
@@ -310,7 +330,7 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         for b_d, m_d, s_d, n_d in flat_args:
             out = decode_blocks_flat(b_d, m_d, s_d, n_d, dst_max=BMAX)
             outs.append(out[:, :1].astype(jnp.int32))
-        return int(np.asarray(combine(*outs)))
+        return combine(*outs)  # device scalar: caller forces
 
     def run_encode_flat():
         from snappy_tpu.kernels.encode_flat import encode_blocks_flat
@@ -319,7 +339,24 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         for b_d, m_d, s_d, n_d in flat_enc_args:
             out = encode_blocks_flat(b_d, m_d, s_d, n_d)
             outs.append(out[:, :1].astype(jnp.int32))
-        return int(np.asarray(combine(*outs)))
+        return combine(*outs)
+
+    # The relay's forced-sync latency is ~20-50 ms regardless of work,
+    # so each timing iteration pipelines FLAT_REPS full passes and pays
+    # ONE forced fetch — per-pass time is what the chip actually costs
+    # (tools/tpu_flat_bench.py REPS ablation; docs/performance.md).
+    FLAT_REPS = max(1, int(os.environ.get("SNAPPY_TPU_BENCH_FLAT_REPS", "8")))
+
+    def _time_flat(fn, times):
+        np.asarray(fn())  # warmup (compile + first exec)
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(FLAT_REPS):
+                c = fn()  # folds to a scalar: pass outputs free promptly
+                acc = c if acc is None else acc + c
+            np.asarray(acc)
+            times.append((time.perf_counter() - t0) / FLAT_REPS)
 
     def run_encode_pallas():
         from snappy_tpu.kernels.pallas_encode import encode_blocks_pallas
@@ -406,21 +443,13 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             print(f"[bench] wave phase failed: {e!r}"[:300])
         try:
             if flat_args:
-                run_decode_flat()  # warmup
-                for _ in range(repeats):
-                    t0 = time.perf_counter()
-                    run_decode_flat()
-                    flat_dec_times.append(time.perf_counter() - t0)
+                _time_flat(run_decode_flat, flat_dec_times)
         except Exception as e:  # pragma: no cover - keep the bench alive
             flat_dec_times = []
             print(f"[bench] flat phase failed: {e!r}"[:300])
         try:
             if flat_enc_args:
-                run_encode_flat()  # warmup
-                for _ in range(repeats):
-                    t0 = time.perf_counter()
-                    run_encode_flat()
-                    flat_enc_times.append(time.perf_counter() - t0)
+                _time_flat(run_encode_flat, flat_enc_times)
         except Exception as e:  # pragma: no cover - keep the bench alive
             flat_enc_times = []
             print(f"[bench] flat-enc phase failed: {e!r}"[:300])

@@ -197,6 +197,26 @@ def _decode_wave_and_crc(arr, words, ngroups, dlens, want_crc, out_max: int):
     return out, err
 
 
+def _flat_trim(ntr: np.ndarray, starts: np.ndarray, rb: int,
+               trip_cap: int) -> tuple[int, int]:
+    """Bucketed panel trim for a staged flat batch: (trip bucket, B rows).
+
+    Plans average ~2 trips against the 24/48-trip caps, so most of the
+    cap-sized meta panel (and the worst-case B panel tail) is zero
+    padding that would be DMA'd every grid step.  The kernel only reads
+    meta rows < 8*n and B rows inside [S, S+128) windows, so slicing to
+    max(n) trips (pow2 bucket) and max(S)+128 rows (128-row bucket) is
+    exact.  Buckets bound the number of compiled kernel shapes.
+    """
+    nmax = int((ntr & 0xFFFF).max()) if ntr.size else 0
+    t_cap = 1
+    while t_cap < nmax:
+        t_cap *= 2
+    t_cap = min(max(t_cap, 1), trip_cap)
+    rb_u = min(rb, (int((starts & 1023).max()) + 128 + 127) & ~127)
+    return t_cap, rb_u
+
+
 @functools.partial(jax.jit, static_argnames=("out_max",))
 def _decode_flat_and_crc(b_u8, meta, fstarts, ntrips, dlens, want_crc,
                          out_max: int):
@@ -321,9 +341,13 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
                     fallback[i] = blob
                     ntr[i] = 0
             # pre-cast on host: saves a full-HBM-pass device cast per
-            # call (the encode path is fixed-overhead-bound)
+            # call (the encode path is fixed-overhead-bound); trim the
+            # all-pad meta/B tail first (see _flat_trim)
+            t_cap, rb_u = _flat_trim(ntr, fst, RB_ENC, ENC_TRIP_CAP)
             comp = encode_blocks_flat(
-                b_u8.astype(np.int32).reshape(BATCH, -1, 128), fmeta, fst, ntr
+                b_u8[:, : rb_u * 128].astype(np.int32).reshape(
+                    BATCH, rb_u, 128),
+                fmeta[:, : 8 * t_cap], fst, ntr
             )
             flat_aux[len(handles)] = (hdrs, fallback)
             handles.append(("flat", (comp, clens_h, None)))
@@ -574,7 +598,9 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 rb = rows_b_for(cmax)
                 b_u8 = np.zeros((BATCH, rb * 128), dtype=np.uint8)
                 fmeta = np.empty((BATCH, 8 * _F_TRIPS, 128), dtype=np.int32)
-                fstarts = np.empty((BATCH, 8, 128), dtype=np.int32)
+                # zeros (not empty): the panel trim below reads max(S)
+                # over the whole plane, including fallback rows
+                fstarts = np.zeros((BATCH, 8, 128), dtype=np.int32)
                 ntr = np.zeros(BATCH, dtype=np.int32)
                 host_rows = set()
                 dlens_w = dlens.copy()
@@ -625,10 +651,17 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                     fmeta[row, :8] = 0
                     dlens_w[row] = 0
                     want_w[row] = 0
+                # trim all-pad meta/B rows before dispatch: plans average
+                # ~2 trips vs the 48-trip cap, and every source read goes
+                # through a [S, S+128) window, so max(S)+128 rows bound
+                # the B panel.  Bucketed (pow2 trips, 128-row B) so the
+                # jit shape set stays small.
+                t_cap, rb_u = _flat_trim(ntr, fstarts, rb, _F_TRIPS)
                 handles.append((
                     "flat",
                     _decode_flat_and_crc(
-                        b_u8, fmeta, fstarts, ntr, dlens_w, want_w,
+                        b_u8[:, : rb_u * 128], fmeta[:, : 8 * t_cap],
+                        fstarts, ntr, dlens_w, want_w,
                         out_max=MAX_CHUNK_UNCOMPRESSED,
                     ),
                     host_rows,

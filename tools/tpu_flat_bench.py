@@ -45,6 +45,11 @@ ONECALL = int(os.environ.get("ONECALL", "0"))
 GROUP = int(os.environ.get("GROUP", "0")) or None   # kernel blocks/grid step
 TRIPCAP = int(os.environ.get("TRIPCAP", "0")) or None  # staging trip cap
 PRECAST = int(os.environ.get("PRECAST", "0"))  # host-cast b to i32 (decode)
+REPS = int(os.environ.get("REPS", "1"))  # kernel passes per forced sync:
+                                         # the relay's sync latency is
+                                         # ~20-50 ms regardless of work,
+                                         # so K pipelined passes + one
+                                         # force isolates the kernel
 RAWOUT = int(os.environ.get("RAWOUT", "0"))    # skip out u8 cast + slice
                                                # (upper-bounds their cost;
                                                # verification reads the f32
@@ -112,8 +117,18 @@ for k in range(n_batches):
         batches.append(tuple(map(jax.device_put, (b_dev, meta, starts, ntr))))
     expect.append(exp)
 
+TRIM = int(os.environ.get("TRIM", "1"))  # slice away all-pad meta/B rows:
+                                         # plans average ~2 trips but the
+                                         # staging arrays are cap-sized, so
+                                         # most per-step DMA is zeros
 if ONECALL:
     stacked = [np.concatenate([bt[k] for bt in batches]) for k in range(4)]
+    if TRIM:
+        mrows = 8 * max(1, int((stacked[3] & 0xFFFF).max()))
+        stacked[1] = np.ascontiguousarray(stacked[1][:, :mrows])
+        rb_used = (int((stacked[2] & 1023).max()) + 128 + 7) & ~7
+        stacked[0] = np.ascontiguousarray(stacked[0][:, : rb_used * VEC])
+        print(f"trim: meta rows {mrows}, b rows {rb_used}", flush=True)
     if mode == "encode" or PRECAST:
         stacked[0] = stacked[0].astype(np.int32).reshape(
             n_batches * B, -1, VEC)
@@ -157,14 +172,17 @@ print(f"verify: {tot_chk - bad}/{tot_chk} blocks bit-exact", flush=True)
 times = []
 for _ in range(5):
     t0 = time.perf_counter()
-    outs = run()
-    np.asarray(combine(*outs))
-    times.append(time.perf_counter() - t0)
+    acc = None
+    for _ in range(REPS):
+        c = combine(*run())  # folds each pass to a scalar: the pass's
+        acc = c if acc is None else acc + c  # outputs free immediately
+    np.asarray(acc)
+    times.append((time.perf_counter() - t0) / REPS)
 best = min(times)
 tripsum = sum(trip_counts)
 print(
-    f"times={['%.3f' % t for t in times]} best={best:.3f}s "
-    f"=> {total/1e9/best:.4f} GB/s/chip ({best/(n_batches*B)*1e6:.0f} us/block, "
+    f"times={['%.3f' % t for t in times]} best={best:.3f}s (REPS={REPS}) "
+    f"=> {total/1e9/best:.4f} GB/s/chip ({best/(n_batches*B)*1e6:.2f} us/block, "
     f"{best/tripsum*1e9:.0f} ns/trip)",
     flush=True,
 )
