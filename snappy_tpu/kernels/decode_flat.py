@@ -225,14 +225,17 @@ _VALID = 1 << 21
 
 
 def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
-    """Sort pieces by (rot class, dst bin, source row) and pack them
-    into trips.
+    """Sort pieces by (rot class, rot, dst row, source row) and pack
+    them into trips.
 
     A trip holds NSUB subpanels of up to 128 pieces.  Each subpanel
     reads one dynamically-placed W_ROWS-row window of B (all its
     pieces' source row pairs fit a [S, S+W_ROWS-1] span) and composes
-    into one 128-row destination bin (drow>>7 equal across the
-    subpanel), which keeps the compose matmul and its one-hot small.
+    into one dynamically-placed 128-row destination window starting at
+    Dq = min(drow) — the FREE-DSTART packing (tools/mosaic_probe20:
+    the compose RMW accepts arbitrary dynamic row starts at no cost),
+    which drops the old dbin-homogeneity constraint so subpanels pack
+    ~bin-boundary-free and plans need fewer trips.
 
     Trips are CLASS-HOMOGENEOUS: pieces with rot != 0 pack into the
     leading trips, rot == 0 pieces (phase-aligned mirror runs — the
@@ -255,8 +258,12 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
     (high bits 0) therefore stays valid — every trip takes the full
     body.  Layout: trip t rows [2*NSUB*t .. +NSUB) hold the A words of
     subpanels 0..3 (qrel | rot<<7), rows [.. +2*NSUB) the B words
-    (dphi | lenm1<<7 | drel<<14 | _VALID); subpanel s's packed
-    (S | dbin<<10 | rot<<13) word lives at starts[t>>5, (t&31)*4+s].
+    (dphi | lenm1<<7 | drel<<14 | _VALID, drel = drow - Dq); subpanel
+    s's packed (S | Dq<<10 | rot<<20) word lives at
+    starts[t>>5, (t&31)*4+s].  The kernel clamps the compose window to
+    the output panel (Dc = min(Dq, out_rows-128)) and shifts drel by
+    Dq - Dc, so Dq near the panel tail needs no packer-side knowledge
+    of out_rows.
     """
     P = len(pieces)
     meta = np.zeros((2 * NSUB * trip_cap, VEC), dtype=np.int32)
@@ -274,14 +281,12 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
     q = base >> 7
     rot = (VEC - (base & (VEC - 1))) & (VEC - 1)
     drow = dst >> 7
-    dbin = drow >> 7
     cls = (rot == 0).astype(np.int32)  # rot pieces first, aligned last
 
-    order = np.lexsort((q, dbin, rot, cls))
+    order = np.lexsort((q, drow, rot, cls))
     q_s = q[order]
-    # subpanel grouping key: (rot, dbin) homogeneous (rot < 128,
-    # dbin < 8); within the aligned class rot == 0 so gk == dbin
-    gk_s = (rot[order] << 3) | dbin[order]
+    rot_s = rot[order]
+    drow_s = drow[order]
     R = int(P - cls.sum())  # index of the first aligned piece
 
     n_sub = 0
@@ -293,29 +298,34 @@ def pack_trips(pieces: np.ndarray, trip_cap: int, rb: int):
         t, s = divmod(n_sub, NSUB)
         if t >= trip_cap:
             return None
-        S = int(q_s[i])
-        if S + W_ROWS > rb:
-            S = rb - W_ROWS
-        g0 = int(gk_s[i])
+        r0 = int(rot_s[i])
+        d0 = int(drow_s[i])       # min drow: drow ascends within (cls,rot)
+        qlo = qhi = int(q_s[i])
         cls_end = R if i < R else P
-        # (rot, dbin) ascends only within a class segment
-        bin_end = i + int(np.searchsorted(gk_s[i:cls_end], g0, side="right"))
-        j = min(i + VEC, P, bin_end)
-        # shrink subpanel until every piece's row pair fits the window
-        while j > i and int(q_s[j - 1]) - S > W_ROWS - 2:
-            j -= 1
+        j = i + 1
+        # greedy extension: rot-homogeneous, src rows fit one W_ROWS
+        # window, dst rows fit one 128-row window
+        while j < min(i + VEC, cls_end):
+            idx = j
+            if int(rot_s[idx]) != r0 or int(drow_s[idx]) - d0 > VEC - 1:
+                break
+            nqlo = min(qlo, int(q_s[idx]))
+            nqhi = max(qhi, int(q_s[idx]))
+            if nqhi - min(nqlo, rb - W_ROWS) > W_ROWS - 2:
+                break
+            qlo, qhi = nqlo, nqhi
+            j += 1
+        S = min(qlo, rb - W_ROWS)
         idx = order[i:j]
         k = j - i
         a_words = ((q[idx] - S) | (rot[idx] << 7)).astype(np.int32)
         b_words = (
-            dphi[idx] | ((ln[idx] - 1) << 7) | ((drow[idx] & 127) << 14)
+            dphi[idx] | ((ln[idx] - 1) << 7) | ((drow[idx] - d0) << 14)
             | _VALID
         ).astype(np.int32)
         meta[2 * NSUB * t + s, :k] = a_words
         meta[2 * NSUB * t + NSUB + s, :k] = b_words
-        starts[t >> 5, (t & 31) * 4 + s] = (
-            S | ((g0 & 7) << 10) | ((g0 >> 3) << 13)
-        )
+        starts[t >> 5, (t & 31) * 4 + s] = S | (d0 << 10) | (r0 << 20)
         n_sub += 1
         if i < R:
             rot_subs = n_sub
@@ -337,7 +347,10 @@ def execute_flat_np(meta: np.ndarray, starts: np.ndarray, n_trips: int,
         for s in range(NSUB):
             w = int(starts[t >> 5, (t & 31) * 4 + s])
             S = w & 1023
-            D = ((w >> 10) & 7) << 7
+            Dq = (w >> 10) & 1023
+            # clamp the compose window to the panel, exactly as the
+            # kernel does; drel shifts by the clamp amount
+            D = min(Dq, out_rows - VEC)
             for k in range(VEC):
                 a = int(meta[2 * NSUB * t + s, k])
                 bw = int(meta[2 * NSUB * t + NSUB + s, k])
@@ -347,7 +360,7 @@ def execute_flat_np(meta: np.ndarray, starts: np.ndarray, n_trips: int,
                 rot = (a >> 7) & 127
                 dphi = bw & 127
                 lnm1 = (bw >> 7) & 127
-                drel = (bw >> 14) & 127
+                drel = ((bw >> 14) & 127) + (Dq - D)
                 phi = (VEC - rot) & (VEC - 1)
                 base = (S + qrel) * VEC + phi
                 for l in range(dphi, dphi + lnm1 + 1):
@@ -412,32 +425,38 @@ def _subpanel_gather(mrow_a, mrow_b, bwin_i32, lane_p, rot_u=None,
     return v, mask, drel
 
 
-def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
-                 *, out_rows: int, group: int):
-    # Formulation constraints (measured, tools/mosaic_probe9/10/12/13):
-    # B is i32 in VMEM (8-sublane tile -> arbitrary dynamic window
+def _flat_kernel(scal_ref, b_ref, meta_ref, out_ref,
+                 *, out_rows: int, group: int, trip_cap: int):
+    # Formulation constraints (measured, tools/mosaic_probe9/10/12/13/
+    # 20): B is i32 in VMEM (8-sublane tile -> arbitrary dynamic window
     # starts compile; bf16 refs with unaligned dyn starts do not),
-    # windows are cast to bf16 *after* the slice, per-trip window
-    # starts are read from a VMEM row via dynamic roll + static lane
-    # extracts (dynamic-index SMEM scalar reads do not compile), rolls
-    # stay f32 (bf16 pltpu.roll is rejected), and the compose stays
-    # per-subpanel (the (128,512) one-hot compose is rejected in situ).
-    # Subpanels are rot-homogeneous (pack_trips), so lane alignment is
-    # applied to the WINDOW, not the gather result: one dynamic lane
-    # roll + one static sublane roll + select pre-shift the window by
-    # the subpanel's uniform phase, and a SINGLE gather matmul replaces
-    # the row-pair gather (two matmuls + result roll) — the rot body
-    # drops to the aligned body's matmul count, and the rolls sit off
-    # the gather's dependency chain.  (The per-piece 7-step barrel
-    # shifter this lineage replaced cost ~1.2 us/trip;
-    # tools/mosaic_probe16 at B=1024.)  `group` blocks share one grid
-    # step to amortize the per-step fixed cost (tools/mosaic_probe15).
+    # windows are cast to bf16 *after* the slice, per-trip scalar words
+    # (S | Dq | rot) are read from the PREFETCHED scalar array with
+    # dynamic indices — the one dynamic-index read Mosaic accepts
+    # (probe20: -6.5%/trip vs the VMEM starts row + roll + lane
+    # extracts it replaced), rolls stay f32 (bf16 pltpu.roll is
+    # rejected), and the compose stays per-subpanel (the (128,512)
+    # one-hot compose is rejected in situ) but starts at an ARBITRARY
+    # dynamic row Dq (probe20: free) — the packer no longer bins
+    # destinations.  Subpanels are rot-homogeneous (pack_trips), so
+    # lane alignment is applied to the WINDOW, not the gather result:
+    # one dynamic lane roll + one static sublane roll + select
+    # pre-shift the window by the subpanel's uniform phase, and a
+    # SINGLE gather matmul replaces the row-pair gather (two matmuls +
+    # result roll) — the rot body drops to the aligned body's matmul
+    # count, and the rolls sit off the gather's dependency chain.  (The
+    # per-piece 7-step barrel shifter this lineage replaced cost ~1.2
+    # us/trip; tools/mosaic_probe16 at B=1024.)  `group` blocks share
+    # one grid step to amortize the per-step fixed cost
+    # (tools/mosaic_probe15).
     blk = pl.program_id(0)
+    stride = 1 + NSUB * trip_cap
     lane_p = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (VEC, VEC), 0)
 
     for g in range(group):
-        word = ntrips_ref[blk * group + g]
+        sbase = (blk * group + g) * stride
+        word = scal_ref[sbase]
         n = word & 0xFFFF
         # leading trips carry rot != 0 pieces (full body); trailing
         # trips are phase-aligned (roll-free body) — pack_trips packs
@@ -445,18 +464,20 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
         n_rot = n - (jax.lax.shift_right_logical(word, 16) & 0xFFFF)
         out_ref[g, :, :] = jnp.zeros((out_rows, VEC), jnp.float32)
 
-        def make_body(aligned, g=g):
+        def make_body(aligned, g=g, sbase=sbase):
             def body(i, c):
-                srow = starts_ref[g, pl.ds(i >> 5, 1), :]
-                sr = pltpu.roll(
-                    srow, shift=(VEC - ((i & 31) * NSUB)) & (VEC - 1), axis=1)
                 mrow = meta_ref[g, pl.ds(2 * NSUB * i, 2 * NSUB), :]
                 vs, masks, drels, Ds = [], [], [], []
                 for s in range(NSUB):
-                    w = sr[0, s]
+                    w = scal_ref[sbase + 1 + i * NSUB + s]
                     S = w & 1023
-                    Ds.append((jax.lax.shift_right_logical(w, 10) & 7) * VEC)
-                    rot_u = jax.lax.shift_right_logical(w, 13) & 127
+                    Dq = jax.lax.shift_right_logical(w, 10) & 1023
+                    # clamp the compose window to the panel; the
+                    # one-hot row shifts by the clamp amount so the
+                    # write lands at the true destination
+                    Dc = jnp.minimum(Dq, out_rows - VEC)
+                    Ds.append((Dc, Dq - Dc))
+                    rot_u = jax.lax.shift_right_logical(w, 20) & 127
                     bwin = b_ref[g, pl.ds(S, W_ROWS), :]
                     if aligned:
                         v, mask, drel = _subpanel_gather(
@@ -472,15 +493,16 @@ def _flat_kernel(ntrips_ref, b_ref, starts_ref, meta_ref, out_ref,
                 for s in range(NSUB):
                     mk = jnp.where(masks[s], vs[s], 0.0)
                     # one-hot compose matmul scatters the 128 masked piece
-                    # rows into the subpanel's 128-row destination bin;
+                    # rows into the subpanel's 128-row destination window;
                     # disjoint destination bytes keep the f32 accumulation
                     # exact
-                    ds_t = (row_iota == drels[s]).astype(jnp.bfloat16)
+                    Dc, dadj = Ds[s]
+                    ds_t = (row_iota == drels[s] + dadj).astype(jnp.bfloat16)
                     contrib = jax.lax.dot_general(
                         ds_t, mk.astype(jnp.bfloat16),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    out_ref[g, pl.ds(Ds[s], VEC), :] += contrib
+                    out_ref[g, pl.ds(Dc, VEC), :] += contrib
                 return c
             return body
 
@@ -530,6 +552,7 @@ def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
         rb = nbytes // VEC
         b_i32 = b_u8.astype(jnp.int32).reshape(B, rb, VEC)
     nmr = meta.shape[1]
+    trip_cap = nmr // (2 * NSUB)
     Bp = (B + group - 1) // group * group
     if Bp != B:  # pad with empty plans (ntrips 0)
         pad = ((0, Bp - B), (0, 0), (0, 0))
@@ -537,13 +560,19 @@ def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
         meta = jnp.pad(meta, pad)
         starts = jnp.pad(starts, pad)
         ntrips = jnp.pad(ntrips, ((0, Bp - B),))
+    # scalar-prefetch plan words: per block [packed count, then trip t
+    # subpanel s's (S | Dq<<10 | rot<<20) word at 1 + t*NSUB + s].  The
+    # starts plane already stores trip t subpanel s at flat index
+    # t*NSUB + s, so this is a slice + concat, not a repack.
+    scal = jnp.concatenate(
+        [ntrips.astype(jnp.int32).reshape(Bp, 1),
+         starts.reshape(Bp, 8 * VEC)[:, : NSUB * trip_cap]],
+        axis=1).reshape(-1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Bp // group,),
         in_specs=[
             pl.BlockSpec((group, rb, VEC), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, 8, VEC), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group, nmr, VEC), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -554,11 +583,12 @@ def _flat_jit(b_u8, meta, starts, ntrips, dst_max: int, interpret: bool,
     )
     out3 = pl.pallas_call(
         functools.partial(_flat_kernel,
-                          out_rows=out_rows, group=group),
+                          out_rows=out_rows, group=group,
+                          trip_cap=trip_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, out_rows, VEC), jnp.float32),
         interpret=interpret,
-    )(ntrips, b_i32, starts, meta)
+    )(scal, b_i32, meta)
     if raw_out:  # bench ablation: f32 panel as-is (holds exact 0..255)
         return out3[:B]
     # one cast pass: the f32 panel holds exact integers 0..255

@@ -674,7 +674,7 @@ struct Piece {
   int32_t b, dst, len;
 };
 
-// Shared packer: stable counting sort on (rot class, rot, dst bin,
+// Shared packer: stable counting sort on (rot class, rot, dst row,
 // source row), greedy subpanel packing (mirrors kernels.decode_flat.
 // pack_trips).  Trips are class-homogeneous: rot != 0 pieces pack into
 // the leading trips, phase-aligned (rot == 0) pieces into the trailing
@@ -683,26 +683,26 @@ struct Piece {
 // additionally ROT-HOMOGENEOUS: the shared rotation rides the starts
 // word and the kernel applies it as ONE dynamic-shift roll (the
 // per-piece barrel shifter it replaced was the dominant rot-trip
-// latency).  Returns n_trips | (n_aligned_trips << 16), or
-// SN_ERR_BUFFER past trip_cap.
+// latency).  Destinations are FREE-DSTART (probe20): a subpanel
+// composes into a dynamic 128-row window at Dq = min(drow) — no dst
+// binning — so subpanels pack dense and plans need fewer trips.
+// Returns n_trips | (n_aligned_trips << 16), or SN_ERR_BUFFER past
+// trip_cap.
 static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
                     int64_t trip_cap, int32_t* meta, int32_t* starts_out) {
   const int64_t Pn = (int64_t)pieces.size();
   memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
   if (Pn == 0) return 0;
-  static thread_local std::vector<int32_t> order, order2, q, rot, dphi, drow,
-      dbin;
+  static thread_local std::vector<int32_t> order, order2, q, rot, dphi, drow;
   order.resize(Pn);
   order2.resize(Pn);
   q.resize(Pn);
   rot.resize(Pn);
   dphi.resize(Pn);
   drow.resize(Pn);
-  dbin.resize(Pn);
-  // pass 1: stable counting sort on (dbin, q) (q < rb <= 2048,
-  // dbin <= 5)
-  int32_t hist[6 * 2048 + 1];
-  memset(hist, 0, sizeof(hist));
+  // pass 1a: stable counting sort on q (q < rb <= 2048)
+  int32_t qhist[2049];
+  memset(qhist, 0, sizeof(qhist));
   for (int64_t i = 0; i < Pn; i++) {
     const Piece& pc = pieces[i];
     int32_t dp = pc.dst & (kVec - 1);
@@ -711,14 +711,21 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
     q[i] = base >> 7;
     rot[i] = (kVec - (base & (kVec - 1))) & (kVec - 1);
     drow[i] = pc.dst >> 7;
-    dbin[i] = drow[i] >> 7;
-    hist[dbin[i] * 2048 + q[i] + 1]++;
+    qhist[q[i] + 1]++;
   }
-  for (int k = 1; k <= 6 * 2048; k++) hist[k] += hist[k - 1];
-  for (int64_t i = 0; i < Pn; i++)
-    order2[hist[dbin[i] * 2048 + q[i]]++] = (int32_t)i;
+  for (int k = 1; k <= 2048; k++) qhist[k] += qhist[k - 1];
+  for (int64_t i = 0; i < Pn; i++) order[qhist[q[i]]++] = (int32_t)i;
+  // pass 1b: stable counting sort on drow (< 1024) — order (drow, q)
+  int32_t dhist[1025];
+  memset(dhist, 0, sizeof(dhist));
+  for (int64_t i = 0; i < Pn; i++) dhist[drow[i] + 1]++;
+  for (int k = 1; k <= 1024; k++) dhist[k] += dhist[k - 1];
+  for (int64_t i = 0; i < Pn; i++) {
+    int32_t idx = order[i];
+    order2[dhist[drow[idx]]++] = idx;
+  }
   // pass 2: stable counting sort on rkey (rot, with rot == 0 LAST:
-  // the aligned class trails) — final order (cls, rot, dbin, q)
+  // the aligned class trails) — final order (cls, rot, drow, q)
   int32_t rhist[130];
   memset(rhist, 0, sizeof(rhist));
   int64_t R = 0;  // index of the first aligned piece in order[]
@@ -743,28 +750,37 @@ static int64_t pack(const std::vector<Piece>& pieces, int64_t rb,
     if (s == 0)  // zero the whole trip's meta rows as it opens
       memset(meta + 2 * kNsub * t * kVec, 0,
              (size_t)2 * kNsub * kVec * sizeof(int32_t));
-    int32_t S = q[order[i]];
-    if (S + kWRows > rb) S = (int32_t)(rb - kWRows);
-    int32_t bn = dbin[order[i]];
     int32_t r0 = rot[order[i]];
+    int32_t d0 = drow[order[i]];  // min drow: drow ascends within (cls,rot)
+    int32_t qlo = q[order[i]], qhi = qlo;
     int64_t cls_end = i < R ? R : Pn;
-    int64_t bin_end = i;
-    while (bin_end < cls_end && dbin[order[bin_end]] == bn &&
-           rot[order[bin_end]] == r0)
-      bin_end++;
-    int64_t j = i + kVec < Pn ? i + kVec : Pn;
-    if (j > bin_end) j = bin_end;
-    while (j > i && q[order[j - 1]] - S > kWRows - 2) j--;
+    int64_t jcap = i + kVec < cls_end ? i + kVec : cls_end;
+    int64_t j = i + 1;
+    // greedy extension: rot-homogeneous, src rows fit one W_ROWS
+    // window, dst rows fit one 128-row window
+    while (j < jcap) {
+      int32_t idx = order[j];
+      if (rot[idx] != r0 || drow[idx] - d0 > kVec - 1) break;
+      int32_t nqlo = qlo < q[idx] ? qlo : q[idx];
+      int32_t nqhi = qhi > q[idx] ? qhi : q[idx];
+      int32_t Sc = nqlo < (int32_t)(rb - kWRows) ? nqlo
+                                                 : (int32_t)(rb - kWRows);
+      if (nqhi - Sc > kWRows - 2) break;
+      qlo = nqlo;
+      qhi = nqhi;
+      j++;
+    }
+    int32_t S = qlo < (int32_t)(rb - kWRows) ? qlo : (int32_t)(rb - kWRows);
     for (int64_t k = i; k < j; k++) {
       int32_t idx = order[k];
       meta[(2 * kNsub * t + s) * kVec + (k - i)] =
           (q[idx] - S) | (rot[idx] << 7);
       meta[(2 * kNsub * t + kNsub + s) * kVec + (k - i)] =
-          dphi[idx] | ((pieces[idx].len - 1) << 7) | ((drow[idx] & 127) << 14) |
-          kValid;
+          dphi[idx] | ((pieces[idx].len - 1) << 7) |
+          ((drow[idx] - d0) << 14) | kValid;
     }
     starts_out[(t >> 5) * kVec + (t & 31) * 4 + s] =
-        S | (bn << 10) | (r0 << 13);
+        S | (d0 << 10) | (r0 << 20);
     n_sub++;
     if (i < R) rot_subs = n_sub;
     i = j;
