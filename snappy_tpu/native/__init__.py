@@ -9,6 +9,7 @@ available() is False and the api layer simply skips this backend.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -26,6 +27,7 @@ from snappy_tpu.errors import (
 _SRC = os.path.join(os.path.dirname(__file__), "src", "snappy_native.cpp")
 _BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
 _SO = os.path.join(_BUILD_DIR, "snappy_native.so")
+_HASH_FILE = os.path.join(_BUILD_DIR, "source.sha256")
 
 _lock = threading.Lock()
 _lib = None
@@ -54,17 +56,44 @@ def _raise(code: int):
     raise SnappyError(f"native error {code}")
 
 
+def _source_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _built_hash() -> str | None:
+    try:
+        with open(_HASH_FILE) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def _so_is_fresh() -> bool:
+    """A .so is loadable only when its recorded source hash matches the
+    tree — the reference's verify-before-activate discipline
+    (snappy/hashes.go) applied to our own built artifact.  Round-2
+    postmortem: a stale committed .so shipped a red tree; this gate makes
+    that structurally impossible."""
+    return os.path.exists(_SO) and _built_hash() == _source_hash()
+
+
 def _build() -> str | None:
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    src_hash = _source_hash()
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         "-pthread", _SRC, "-o", _SO,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
-        return _SO
     except Exception:
         return None
+    tmp = _HASH_FILE + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(src_hash + "\n")
+    os.replace(tmp, _HASH_FILE)
+    return _SO
 
 
 def _load():
@@ -79,7 +108,7 @@ def _load():
         from snappy_tpu.utils.hostmem import tune_allocator
 
         tune_allocator()
-        so = _SO if os.path.exists(_SO) else _build()
+        so = _SO if _so_is_fresh() else _build()
         if so is None:
             return None
         try:

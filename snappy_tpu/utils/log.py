@@ -31,9 +31,13 @@ def get_logger() -> logging.Logger:
         )
         log.addHandler(h)
         try:  # syslog bridge, best effort (reference parity)
-            sh = logging.handlers.SysLogHandler(address="/dev/log")
-            sh.setLevel(logging.WARNING)
-            log.addHandler(sh)
+            if os.path.exists("/dev/log"):
+                sh = logging.handlers.SysLogHandler(address="/dev/log")
+                sh.setLevel(logging.WARNING)
+                # a dead syslog socket must never spew "--- Logging
+                # error ---" tracebacks over the CLI's own error report
+                sh.handleError = lambda record: None
+                log.addHandler(sh)
         except OSError:
             pass
     return log
