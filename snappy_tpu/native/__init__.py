@@ -153,6 +153,18 @@ def _load():
             i32p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
         ]
+        lib.sn_stage_flat_dec.restype = ctypes.c_int64
+        lib.sn_stage_flat_dec.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, u8p,
+        ]
+        lib.sn_stage_flat_enc.restype = ctypes.c_int64
+        lib.sn_stage_flat_enc.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i32p, i32p, u8p, ctypes.c_uint64, u8p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.sn_plan_flat_enc.restype = ctypes.c_int64
         lib.sn_plan_flat_enc.argtypes = [
             i32p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int64,
@@ -189,6 +201,12 @@ def crc32c(data: bytes, crc: int = 0) -> int:
     lib = _load()
     arr = _to_arr(data)
     return int(lib.sn_crc32c(_as_u8p(arr), len(data), crc))
+
+
+def max_compressed_length(src_len: int) -> int:
+    """Worst-case element size for a src_len-byte block (the capacity
+    callers must give stage_flat_enc's elem_out, +8 slack)."""
+    return int(_load().sn_max_compressed_length(src_len))
 
 
 def compress(data: bytes) -> bytes:
@@ -320,6 +338,72 @@ def plan_flat_fused(
     if rc < 0:
         _raise(int(rc))
     return int(rc)
+
+
+def stage_flat_dec(
+    element: np.ndarray,
+    hdr: int,
+    dst_len: int,
+    rb: int,
+    meta: np.ndarray,
+    starts: np.ndarray,
+    b_row: np.ndarray,
+    piece_cap: int = -1,
+) -> int | None:
+    """Fused flat-decode STAGE (see sn_stage_flat_dec): plan + assemble
+    the device B row in one call — element bytes land at b_row[128:
+    128+len(element)], mirror runs directly after; b_row may be
+    np.empty (unwritten bytes are never gathered).  Plans are
+    bit-identical to plan_flat_fused.  Returns the packed trip count,
+    None past a cap, raises CorruptError on invalid streams."""
+    lib = _load()
+    trip_cap = meta.shape[0] // 8
+    rc = lib.sn_stage_flat_dec(
+        _as_u8p(element), element.shape[0], hdr, dst_len, rb, trip_cap,
+        piece_cap,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _as_u8p(b_row),
+    )
+    if rc == -5:
+        return None
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc)
+
+
+def stage_flat_enc(
+    block: np.ndarray,
+    rb: int,
+    meta: np.ndarray,
+    starts: np.ndarray,
+    b_row: np.ndarray,
+    tag_cap: int,
+    elem_out: np.ndarray,
+    piece_cap: int = -1,
+) -> tuple[int | None, int, int]:
+    """Fused flat-encode STAGE (see sn_stage_flat_enc): compress + plan
+    + assemble the device B row in one call.  Returns (trip_count,
+    clen, hdr); trip_count is None past a cap, in which case elem_out
+    [:clen] is the host-emission fallback the caller uses directly.
+    elem_out capacity must be >= max_compressed_length(len) + 8;
+    b_row may be np.empty."""
+    lib = _load()
+    trip_cap = meta.shape[0] // 8
+    clen = ctypes.c_int64(0)
+    hdr = ctypes.c_int64(0)
+    rc = lib.sn_stage_flat_enc(
+        _as_u8p(block), block.shape[0], rb, trip_cap, piece_cap,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _as_u8p(b_row), tag_cap, _as_u8p(elem_out),
+        ctypes.byref(clen), ctypes.byref(hdr),
+    )
+    if rc == -5:
+        return None, int(clen.value), int(hdr.value)
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc), int(clen.value), int(hdr.value)
 
 
 def plan_flat_enc(

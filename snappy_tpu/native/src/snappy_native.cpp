@@ -954,16 +954,14 @@ int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
 //   dst_len: decoded size from the preamble.
 // Returns pack()'s n_trips|(n_aligned<<16), SN_ERR_CORRUPT on invalid
 // streams, or SN_ERR_BUFFER past a cap (caller falls back).
-int64_t sn_plan_flat_fused(const uint8_t* src, uint64_t n, uint64_t s,
-                           uint64_t dst_len, int64_t rb, int64_t trip_cap,
-                           int64_t piece_cap, int32_t* meta,
-                           int32_t* starts_out, uint8_t* pat_out) {
-  using namespace flatplan;
-  if (trip_cap > 256) return SN_ERR_BUFFER;
-  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
-  memset(pat_out, 0, (size_t)kPatRows * kVec);
-
-  Ctx ctx = make_ctx(src, n, (int64_t)dst_len, piece_cap, pat_out);
+namespace flatplan {
+// The fused single-pass walk shared by sn_plan_flat_fused and
+// sn_stage_flat_dec: tag parse (validating, mirrors sn_parse_tags
+// byte-for-byte), scratch-decode replay, and emission classify in ONE
+// walk over the element.  Returns SN_OK / SN_ERR_CORRUPT /
+// SN_ERR_BUFFER (cap overflow, caller falls back).
+static int fused_walk(const uint8_t* src, uint64_t n, uint64_t s,
+                      uint64_t dst_len, Ctx& ctx) {
   uint64_t d = 0;
   while (s < n) {
     uint32_t tag = src[s] & 3;
@@ -1023,6 +1021,50 @@ int64_t sn_plan_flat_fused(const uint8_t* src, uint64_t n, uint64_t s,
   }
   if (d != dst_len) return SN_ERR_CORRUPT;
   if (!ctx.finish()) return SN_ERR_BUFFER;
+  return SN_OK;
+}
+}  // namespace flatplan
+
+int64_t sn_plan_flat_fused(const uint8_t* src, uint64_t n, uint64_t s,
+                           uint64_t dst_len, int64_t rb, int64_t trip_cap,
+                           int64_t piece_cap, int32_t* meta,
+                           int32_t* starts_out, uint8_t* pat_out) {
+  using namespace flatplan;
+  if (trip_cap > 256) return SN_ERR_BUFFER;
+  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
+  memset(pat_out, 0, (size_t)kPatRows * kVec);
+
+  Ctx ctx = make_ctx(src, n, (int64_t)dst_len, piece_cap, pat_out);
+  int rc = fused_walk(src, n, s, dst_len, ctx);
+  if (rc != SN_OK) return rc;
+  return pack(pieces_buf, rb, trip_cap, meta, starts_out);
+}
+
+// Fused STAGE: the whole host half of the flat decode engine in one
+// call — parse+validate+replay+classify+pack (identical plans to
+// sn_plan_flat_fused; tests enforce) AND assemble the device B row
+// in place: element bytes at b_row[128, 128+n), mirror runs written
+// directly after (pat_base0 = 128 + n), pad row zeroed.  No
+// intermediate pat buffer, no 73 KiB memset (alignment-pad gaps and
+// the tail are never gathered by any piece: the kernel's one-hot row
+// select + per-piece lane mask only ever read bytes the planner
+// wrote), and no Python-side payload/mirror copies.  b_row: uint8
+// [rb*128], caller-owned, may be uninitialized (np.empty).
+// Returns pack()'s n_trips|(n_aligned<<16), SN_ERR_CORRUPT, or
+// SN_ERR_BUFFER past a cap (caller falls back per chunk).
+int64_t sn_stage_flat_dec(const uint8_t* src, uint64_t n, uint64_t s,
+                          uint64_t dst_len, int64_t rb, int64_t trip_cap,
+                          int64_t piece_cap, int32_t* meta,
+                          int32_t* starts_out, uint8_t* b_row) {
+  using namespace flatplan;
+  if (trip_cap > 256) return SN_ERR_BUFFER;
+  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
+  memset(b_row, 0, kVec);  // pad row
+  memcpy(b_row + kVec, src, (size_t)n);
+
+  Ctx ctx = make_ctx(src, n, (int64_t)dst_len, piece_cap, b_row + kVec + n);
+  int rc = fused_walk(src, n, s, dst_len, ctx);
+  if (rc != SN_OK) return rc;
   return pack(pieces_buf, rb, trip_cap, meta, starts_out);
 }
 
@@ -1042,13 +1084,13 @@ int64_t sn_plan_flat_fused(const uint8_t* src, uint64_t n, uint64_t s,
 //   tagbuf: uint8[tag_cap] out; *tag_used_out = bytes written
 // Returns the trip count, or SN_ERR_BUFFER when a cap is exceeded
 // (caller picks another engine).
-int64_t sn_plan_flat_enc(const int32_t* rec, uint64_t n_tags,
-                         const uint8_t* comp, uint64_t comp_len,
-                         int64_t rb, int64_t trip_cap, int64_t piece_cap,
-                         int32_t* meta, int32_t* starts_out,
-                         uint8_t* tagbuf, uint64_t tag_cap,
-                         int64_t* tag_used_out) {
-  using namespace flatplan;
+namespace flatplan {
+static int64_t plan_enc_impl(const int32_t* rec, uint64_t n_tags,
+                             const uint8_t* comp, uint64_t comp_len,
+                             int64_t rb, int64_t trip_cap, int64_t piece_cap,
+                             int32_t* meta, int32_t* starts_out,
+                             uint8_t* tagbuf, uint64_t tag_cap,
+                             int64_t* tag_used_out) {
   const int64_t kSrcSpan = 65536;        // input block span in B
   const int64_t kTagBase = kVec + kSrcSpan;
   if (trip_cap > 256) return SN_ERR_BUFFER;
@@ -1114,6 +1156,63 @@ int64_t sn_plan_flat_enc(const int32_t* rec, uint64_t n_tags,
     return pack(pieces, rb, trip_cap, meta, starts_out);
   }
   return SN_ERR_BUFFER;  // unreachable
+}
+}  // namespace flatplan
+
+int64_t sn_plan_flat_enc(const int32_t* rec, uint64_t n_tags,
+                         const uint8_t* comp, uint64_t comp_len,
+                         int64_t rb, int64_t trip_cap, int64_t piece_cap,
+                         int32_t* meta, int32_t* starts_out,
+                         uint8_t* tagbuf, uint64_t tag_cap,
+                         int64_t* tag_used_out) {
+  return flatplan::plan_enc_impl(rec, n_tags, comp, comp_len, rb, trip_cap,
+                                 piece_cap, meta, starts_out, tagbuf,
+                                 tag_cap, tag_used_out);
+}
+
+// Fused encode STAGE: the whole host half of the flat encode engine in
+// one call — compress the block (the reference greedy matcher IS the
+// planning pass), parse the emission, plan the device replay, and
+// assemble the device B row in place (input block at b_row[128,
+// 128+len), tag segments written directly at b_row[128+65536, ...);
+// pad gaps and unwritten bytes are never gathered).  The full element
+// is always written to elem_out (capacity >= sn_max_compressed_length
+// (len) + 8): on SN_ERR_BUFFER the caller uses it as the host-emission
+// fallback, otherwise it slices the device emission with *clen_out /
+// *hdr_out.  b_row may be uninitialized (np.empty).
+// Returns the packed trip count, or SN_ERR_BUFFER past a cap.
+int64_t sn_stage_flat_enc(const uint8_t* block, uint64_t len, int64_t rb,
+                          int64_t trip_cap, int64_t piece_cap,
+                          int32_t* meta, int32_t* starts_out,
+                          uint8_t* b_row, uint64_t tag_cap,
+                          uint8_t* elem_out, int64_t* clen_out,
+                          int64_t* hdr_out) {
+  using namespace flatplan;
+  const int64_t kSrcSpan = 65536;
+  int64_t clen = sn_compress(block, len, elem_out);
+  if (clen < 0) return clen;
+  *clen_out = clen;
+  uint64_t want = 0;
+  int hdr = sn_uncompressed_length(elem_out, (uint64_t)clen, &want);
+  if (hdr < 0) return hdr;
+  *hdr_out = hdr;
+  // parse the emission we just produced (cannot fail on our own output;
+  // record cap: every element is >= 2 payload bytes)
+  static thread_local std::vector<int32_t> rec_buf;
+  uint64_t max_tags = (uint64_t)clen / 2 + 2;
+  if (rec_buf.size() < 4 * max_tags) rec_buf.resize(4 * max_tags);
+  int64_t nt = sn_parse_tags(elem_out, (uint64_t)clen, (uint64_t)hdr, len,
+                             rec_buf.data(), max_tags);
+  if (nt < 0) return nt;
+  int64_t tag_used = 0;
+  int64_t r = plan_enc_impl(rec_buf.data(), (uint64_t)nt, elem_out,
+                            (uint64_t)clen, rb, trip_cap, piece_cap, meta,
+                            starts_out, b_row + kVec + kSrcSpan, tag_cap,
+                            &tag_used);
+  if (r < 0) return r;
+  memset(b_row, 0, kVec);  // pad row
+  memcpy(b_row + kVec, block, (size_t)len);
+  return r;
 }
 
 }  // extern "C"

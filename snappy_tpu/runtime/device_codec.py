@@ -170,19 +170,16 @@ def _plan_pool():
     return _PLAN_POOL
 
 
-def _plan_tls():
-    """Per-thread planner scratch: (tag records, mirror buf, tag buf)."""
-    s = getattr(_plan_scratch, "bufs", None)
+def _plan_elem_tls() -> np.ndarray:
+    """Per-thread encode-stage element scratch (worst-case 64 KiB
+    block emission; stage_flat_enc writes the host element here)."""
+    s = getattr(_plan_scratch, "elem", None)
     if s is None:
-        from snappy_tpu.kernels.decode_flat import PAT_ROWS
-        from snappy_tpu.kernels.encode_flat import TAG_ROWS
+        from snappy_tpu import native
 
-        s = (
-            np.empty((_DECODE_CMAX // 2 + 2, 4), np.int32),
-            np.empty(PAT_ROWS * 128, np.uint8),
-            np.empty(TAG_ROWS * 128, np.uint8),
-        )
-        _plan_scratch.bufs = s
+        s = np.empty(native.max_compressed_length(MAX_BLOCK_SIZE) + 8,
+                     np.uint8)
+        _plan_scratch.elem = s
     return s
 
 
@@ -303,12 +300,14 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             from snappy_tpu.kernels.encode_flat import (
                 ENC_TRIP_CAP,
                 RB_ENC,
-                SRC_SPAN,
                 TAG_ROWS,
                 encode_blocks_flat,
             )
 
-            b_u8 = np.zeros((BATCH, RB_ENC * 128), np.uint8)
+            # np.empty: the fused stager writes every byte any piece
+            # gathers (tests poison-check this); rows that fall back
+            # stage as empty plans and their junk B row is never read
+            b_u8 = np.empty((BATCH, RB_ENC * 128), np.uint8)
             fmeta = np.empty((BATCH, 8 * ENC_TRIP_CAP, 128), np.int32)
             fst = np.zeros((BATCH, 8, 128), np.int32)
             ntr = np.zeros(BATCH, np.int32)
@@ -317,23 +316,18 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             fallback: dict = {}
 
             def _plan_enc_row(i):
-                chunk = bytes(arr[i, : lens[i]])
-                c = _native.compress(chunk)  # the matcher IS the plan
-                _, hdr = read_uvarint(c, 0)
-                cb = np.frombuffer(c, np.uint8)
-                scratch = _plan_tls()
-                nt = _native.parse_tags(c, hdr, len(chunk), scratch[0])
-                r = _native.plan_flat_enc(
-                    scratch[0], nt, cb, RB_ENC, fmeta[i], fst[i], scratch[2]
+                # fused stage: compress (the matcher IS the plan) +
+                # parse + plan + B-row assembly in one native call
+                elem = _plan_elem_tls()
+                r, clen, hdr = _native.stage_flat_enc(
+                    arr[i, : lens[i]], RB_ENC, fmeta[i], fst[i],
+                    b_u8[i], TAG_ROWS * 128, elem
                 )
                 if r is None:  # tag/trip cap: host emission directly
-                    return i, c[hdr:]
-                ntr[i], tag_used = r
-                clens_h[i] = len(c)
+                    return i, elem[hdr:clen].tobytes()
+                ntr[i] = r
+                clens_h[i] = clen
                 hdrs[i] = hdr
-                b_u8[i, 128 : 128 + lens[i]] = arr[i, : lens[i]]
-                tb = 128 + SRC_SPAN
-                b_u8[i, tb : tb + tag_used] = scratch[2][:tag_used]
                 return i, None
 
             for i, blob in _plan_pool().map(_plan_enc_row, range(cnt)):
@@ -590,16 +584,19 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
             wave_failed = False
             if use_wave and FLAT:
                 from snappy_tpu.kernels.decode_flat import (
-                    PAT_ROWS as _F_PATR,
                     TRIP_CAP as _F_TRIPS,
                     rows_b_for,
                 )
 
                 rb = rows_b_for(cmax)
-                b_u8 = np.zeros((BATCH, rb * 128), dtype=np.uint8)
+                # np.empty: the fused stager writes every byte any
+                # piece gathers (tests poison-check this); unstaged /
+                # fallback rows carry empty plans, so their junk B row
+                # is DMA'd but never composed
+                b_u8 = np.empty((BATCH, rb * 128), dtype=np.uint8)
                 fmeta = np.empty((BATCH, 8 * _F_TRIPS, 128), dtype=np.int32)
                 # zeros (not empty): the panel trim below reads max(S)
-                # over the whole plane, including fallback rows
+                # over the whole plane, including unstaged tail rows
                 fstarts = np.zeros((BATCH, 8, 128), dtype=np.int32)
                 ntr = np.zeros(BATCH, dtype=np.int32)
                 host_rows = set()
@@ -608,17 +605,16 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
 
                 # per-row planning is independent; the native calls
                 # release the GIL, so a small pool overlaps them
-                # (ctypes + per-thread scratch via thread_local planner)
                 def _plan_row(args, _rb=rb):
                     row, i = args
                     _, p_off, p_len, crc_, dst_len, hdr = chunks[i]
-                    scratch = _plan_tls()
                     payload = src_arr[p_off : p_off + p_len]
-                    # fused single-pass parse+plan (validates the tag
-                    # stream exactly as parse_tags; ~1.3x host rate)
-                    g = _native.plan_flat_fused(
+                    # fused single-pass STAGE: parse (validating,
+                    # exactly as parse_tags) + plan + device B-row
+                    # assembly in one native call
+                    g = _native.stage_flat_dec(
                         payload, hdr, dst_len, _rb,
-                        fmeta[row], fstarts[row], scratch[1]
+                        fmeta[row], fstarts[row], b_u8[row]
                     )
                     if g is None:
                         # pathological plan density: decode on host
@@ -626,10 +622,6 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                             bytes(payload)
                         )
                     ntr[row] = g
-                    b_u8[row, 128 : 128 + p_len] = payload
-                    b_u8[row, 128 + p_len : 128 + p_len + _F_PATR * 128] = (
-                        scratch[1]
-                    )
                     return row, i, g, None
 
                 for row, i, g, blob in _plan_pool().map(

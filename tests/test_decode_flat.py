@@ -460,3 +460,54 @@ def test_fused_planner_bit_identical_and_validating(rng):
         raise AssertionError("truncated stream planned")
     except CorruptError:
         pass
+
+
+def test_stage_flat_dec_parity_and_validation(rng):
+    """sn_stage_flat_dec (plan + device B-row assembly in one call, the
+    production staging path) must produce bit-identical plans to
+    plan_flat_fused AND a B row whose replay reproduces the oracle
+    bytes — with b_row passed uninitialized (np.empty), proving no
+    piece ever gathers a byte the stager did not write."""
+    from snappy_tpu.errors import CorruptError
+
+    meta2 = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
+    starts2 = np.empty((8, VEC), np.int32)
+    pat2 = np.empty(DF.PAT_ROWS * VEC, np.uint8)
+    meta3 = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
+    starts3 = np.empty((8, VEC), np.int32)
+    for i, data in enumerate(_samples(rng)):
+        c = reference.compress(data)
+        dlen, h = read_uvarint(c, 0)
+        cb = np.frombuffer(c, np.uint8)
+        rb = rows_b_for(len(cb))
+        g = native.plan_flat_fused(cb, h, dlen, rb, meta2, starts2, pat2)
+        b_row = np.full(rb * VEC, 0xEE, np.uint8)  # poison: unwritten
+        g3 = native.stage_flat_dec(cb, h, dlen, rb, meta3, starts3, b_row)
+        assert g3 == g, f"case {i}"
+        n = g & 0xFFFF
+        assert (meta3[: 8 * n] == meta2[: 8 * n]).all(), f"case {i}"
+        assert (starts3 == starts2).all(), f"case {i}"
+        out = execute_flat_np(meta3, starts3, g3, b_row, dlen)
+        assert out.tobytes() == data, f"case {i}"
+    # corruption must surface exactly like plan_flat_fused / parse_tags
+    c = reference.compress(b"stage corrupt probe " * 2000)
+    dlen, h = read_uvarint(c, 0)
+    bad = np.frombuffer(c[:-3], np.uint8)
+    rb = rows_b_for(len(bad))
+    b_row = np.empty(rb * VEC, np.uint8)
+    with pytest.raises(CorruptError):
+        native.stage_flat_dec(bad, h, dlen, rb, meta3, starts3, b_row)
+
+
+def test_stage_flat_dec_piece_cap_returns_none(rng):
+    """Past a piece cap the stager returns None (caller falls back)."""
+    data = rng.randbytes(8192)
+    c = reference.compress(data)
+    dlen, h = read_uvarint(c, 0)
+    cb = np.frombuffer(c, np.uint8)
+    rb = rows_b_for(len(cb))
+    meta = np.empty((2 * NSUB * TRIP_CAP, VEC), np.int32)
+    starts = np.empty((8, VEC), np.int32)
+    b_row = np.empty(rb * VEC, np.uint8)
+    assert native.stage_flat_dec(cb, h, dlen, rb, meta, starts, b_row,
+                                 piece_cap=2) is None

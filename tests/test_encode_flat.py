@@ -195,3 +195,44 @@ def test_pieces_cover_element(rng):
     out_full = replay_enc_np(meta, starts, ntr, bb, OUT_ROWS_ENC * VEC)
     assert out_full[len(c):].max(initial=0) == 0
     assert out_full[: len(c)].tobytes() == c
+
+
+def test_stage_flat_enc_parity(rng):
+    """sn_stage_flat_enc (compress + plan + B-row assembly in one call,
+    the production staging path) must reproduce the separate-call path
+    exactly: element bytes, plans, and a replayable B row — with b_row
+    uninitialized, proving no piece gathers an unwritten byte."""
+    meta3 = np.empty((8 * ENC_TRIP_CAP, VEC), np.int32)
+    starts3 = np.empty((8, VEC), np.int32)
+    for i, block in enumerate(_samples(rng)):
+        c, meta, starts, ntr, tagbuf, tag_used = _plan_enc(block)
+        _, h = read_uvarint(c, 0)
+        ba = np.frombuffer(block, np.uint8)
+        b_row = np.full(RB_ENC * VEC, 0xEE, np.uint8)
+        elem = np.empty(native.max_compressed_length(len(block)) + 8,
+                        np.uint8)
+        r, clen, hdr = native.stage_flat_enc(
+            ba, RB_ENC, meta3, starts3, b_row, _TAG_CAP, elem)
+        assert (r, clen, hdr) == (ntr, len(c), h), f"case {i}"
+        assert elem[:clen].tobytes() == c, f"case {i}"
+        n = ntr & 0xFFFF
+        assert (meta3[: 8 * n] == meta[: 8 * n]).all(), f"case {i}"
+        assert (starts3 == starts).all(), f"case {i}"
+        out = replay_enc_np(meta3, starts3, r, b_row, clen)
+        assert out.tobytes() == c, f"case {i}"
+
+
+def test_stage_flat_enc_cap_fallback_gives_host_emission(rng):
+    """Past a cap the stager returns (None, clen, hdr) and elem_out
+    [:clen] is the exact host emission the caller uses directly."""
+    block = rng.randbytes(16384)
+    c = native.compress(block)
+    ba = np.frombuffer(block, np.uint8)
+    meta = np.empty((8 * ENC_TRIP_CAP, VEC), np.int32)
+    starts = np.empty((8, VEC), np.int32)
+    b_row = np.empty(RB_ENC * VEC, np.uint8)
+    elem = np.empty(native.max_compressed_length(len(block)) + 8, np.uint8)
+    r, clen, hdr = native.stage_flat_enc(
+        ba, RB_ENC, meta, starts, b_row, _TAG_CAP, elem, piece_cap=2)
+    assert r is None
+    assert elem[:clen].tobytes() == c
