@@ -203,6 +203,12 @@ def crc32c(data: bytes, crc: int = 0) -> int:
     return int(lib.sn_crc32c(_as_u8p(arr), len(data), crc))
 
 
+def crc32c_arr(arr: np.ndarray, crc: int = 0) -> int:
+    """CRC-32C of a contiguous uint8 ndarray (zero-copy: no bytes()
+    round-trip for callers that already hold numpy views)."""
+    return int(_load().sn_crc32c(_as_u8p(arr), arr.shape[0], crc))
+
+
 def max_compressed_length(src_len: int) -> int:
     """Worst-case element size for a src_len-byte block (the capacity
     callers must give stage_flat_enc's elem_out, +8 slack)."""
