@@ -213,14 +213,12 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         from concurrent.futures import ThreadPoolExecutor
 
         from snappy_tpu.kernels.decode_flat import (
-            PAT_ROWS as _F_PATR,
             TRIP_CAP as _F_TRIPS,
             rows_b_for,
         )
         from snappy_tpu.kernels.encode_flat import (
             ENC_TRIP_CAP as _FE_TRIPS,
             RB_ENC as _FE_RB,
-            SRC_SPAN as _FE_SPAN,
             TAG_ROWS as _FE_TAGR,
         )
         from snappy_tpu.spec.format import read_uvarint as _ruv
@@ -242,12 +240,11 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         _tls = threading.local()
 
         def _scratch():
-            s = getattr(_tls, "bufs", None)
+            s = getattr(_tls, "elem", None)
             if s is None:
-                s = (np.empty((CMAX // 2 + 2, 4), np.int32),
-                     np.empty(_F_PATR * 128, np.uint8),
-                     np.empty(_FE_TAGR * 128, np.uint8))
-                _tls.bufs = s
+                s = np.empty(native.max_compressed_length(BMAX) + 8,
+                             np.uint8)
+                _tls.elem = s
             return s
 
         pool = ThreadPoolExecutor(4)
@@ -266,28 +263,22 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             entr = np.zeros(B, np.int32)
 
             def _stage_row(i, k=k):
-                tmp, fpat, tagbuf = _scratch()
+                elem = _scratch()
                 block = src_all[(k * B + i) * BMAX : (k * B + i + 1) * BMAX]
                 c = native.compress(block)
                 _, hdr = _ruv(c, 0)
                 cb = np.frombuffer(c, np.uint8)
-                nt = native.parse_tags(c, hdr, len(block), tmp)
                 d_ok = e_ok = 0
-                g = native.plan_flat(tmp, nt, cb, _f_rb, fmeta[i], fst[i],
-                                     fpat)
+                g = native.stage_flat_dec(cb, hdr, len(block), _f_rb,
+                                          fmeta[i], fst[i], b_u8[i])
                 if g is not None:
                     ntr[i] = g
-                    b_u8[i, 128 : 128 + len(cb)] = cb
-                    b_u8[i, 128 + len(cb) : 128 + len(cb) + _F_PATR * 128] = fpat
                     d_ok = len(block)
-                r = native.plan_flat_enc(tmp, nt, cb, _FE_RB, efmeta[i],
-                                         efst[i], tagbuf)
+                r, _clen, _h = native.stage_flat_enc(
+                    np.frombuffer(block, np.uint8), _FE_RB, efmeta[i],
+                    efst[i], eb_u8[i], _FE_TAGR * 128, elem)
                 if r is not None:
-                    entr[i], tag_used = r
-                    eb_u8[i, 128 : 128 + len(block)] = np.frombuffer(
-                        block, np.uint8)
-                    tb = 128 + _FE_SPAN
-                    eb_u8[i, tb : tb + tag_used] = tagbuf[:tag_used]
+                    entr[i] = r
                     e_ok = len(block)
                 return d_ok, e_ok
 

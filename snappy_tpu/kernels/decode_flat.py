@@ -8,23 +8,37 @@ every *piece* reads a linear window of a byte buffer ``B`` (= one zero
 pad row + the compressed payload + a "mirror" side-buffer), so no piece
 depends on another piece's output.
 
-Planner (v2, the round-2 redesign): the tag stream is already validated
-(native sn_parse_tags), so the host first replays it into a scratch
-decode ``dec`` (a tight C++ LZ loop, ~GB/s), then classifies emissions
-in one pass:
+Planner (v2.5, the round-3 refinement of the round-2 redesign): the
+tag stream is already validated (native sn_parse_tags), so the host
+replays it into the mirror region of B DIRECTLY as a full output
+IMAGE (mirror[j] = out[j], a tight C++ LZ loop), then classifies
+emissions in one pass:
 
 - literals >= DIRECT_T gather straight from the compressed payload;
 - copies >= DIRECT_T whose source lies inside one literal's output
   remap to the payload (out[s0..s0+L) == comp bytes by construction);
 - everything else — short emissions and copy-of-copy chains — rides a
-  pending *run*: maximal dst-contiguous spans memcpy'd once from dec
-  into the mirror and emitted as full-row linear pieces.
+  pending *run*: maximal dst-contiguous spans emitted as full-row
+  linear pieces pointing at the image (no copy, no padding).
 
-Runs are disjoint ascending output ranges, so the mirror never exceeds
-one block (64 KiB) and the plan needs no resolved map, no periodic
-patterns, and no healing heuristics.  On tag-dense data (~8 B/tag) this
-cuts pieces/block ~20x vs one-piece-per-emission (to ~1 device trip);
-on literal-heavy data nearly all bytes ride zero-copy payload gathers.
+Because the mirror base is 128-aligned and mirror[j] = out[j], EVERY
+run piece has rot == 0 by construction: the whole run class rides the
+kernel's roll-free aligned trip body, subpanels pack phase-uniform and
+window-perfect (consecutive mirror rows), and the v2 machinery this
+replaces — per-run memcpy into a compacted mirror, per-run phase pads,
+the 64-row pad slack, and the mirror-capacity fallback — is deleted
+outright.  v2 measured effects carried forward: pieces/block ~20x
+below one-piece-per-emission; v2.5 removes up to 64 KiB/block of host
+memcpy and drops decode trips/block toward 1 (every run subpanel is
+aligned AND window-dense).
+
+Round-3 measurement note (docs/performance.md): the VERDICT-suggested
+alternative — device-side copy resolution via dependency-LEVELED trips
+so the host ships unresolved plans — was measured DEAD on tag-dense
+data: corpus chains reach level 2587 with a near-uniform level
+distribution (341 trips/block at level-homogeneous subpanels vs 2.3
+today), because text copies source bytes written moments earlier.  The
+host replay stays; the win is making it write the device buffer once.
 
 Device kernel: pieces are split at output-row boundaries (dst stays in
 one 128-byte row, len <= 128) and carry a linear source: out[drow*128+l]
@@ -63,16 +77,16 @@ __all__ = [
     "decode_blocks_flat",
     "build_b_bytes",
     "rows_b_for",
+    "mirror_base_for",
 ]
 
 VEC = 128
 NSUB = 4             # subpanels per device loop trip
 PANEL = NSUB * VEC   # pieces per trip
 W_ROWS = 128         # source window rows per subpanel (static slice width)
-PAT_ROWS = 576       # mirror side-buffer rows: disjoint ascending runs
-                     # bound the data at one block (512 rows); the extra
-                     # 64 rows absorb the phase-alignment pads (<= 127 B
-                     # per run) so big runs can still align
+PAT_ROWS = 512       # mirror rows: a full 64 KiB output IMAGE
+                     # (mirror[j] = out[j]; v2's pad slack is gone —
+                     # the aligned base makes every run piece rot 0)
 OUT_ROWS = 520       # 64 KiB output + slack, multiple of 8
 TRIP_CAP = 48        # device trips per block (fallback past this).
                      # Corpus plans run 2-3 trips; halving the cap from
@@ -96,10 +110,19 @@ DIRECT_T = 4096
 
 def rows_b_for(cmax: int) -> int:
     """Rows of the B buffer for a given compressed row width: one zero
-    pad row + payload rows + mirror + one trailing guard row, rounded
-    to the int32 sublane tile."""
+    pad row + payload rows (the mirror image starts on the next row
+    boundary, so its base is 128-aligned) + mirror + one trailing
+    guard row, rounded to the int32 sublane tile."""
     r = 1 + (cmax + VEC - 1) // VEC + PAT_ROWS + 1
     return (r + 7) & ~7
+
+
+def mirror_base_for(clen: int) -> int:
+    """B byte address of mirror[0]: first row boundary past the
+    payload.  128-aligned by construction — the property that makes
+    every mirror piece rot 0 (mirror[j] = out[j], so source phase ==
+    destination phase)."""
+    return (VEC + clen + VEC - 1) & ~(VEC - 1)
 
 
 def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
@@ -120,9 +143,12 @@ def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
     out_end = 0
     if n_tags:
         out_end = int(recs[n_tags - 1, 3]) + int(recs[n_tags - 1, 1])
+    if out_end > PAT_ROWS * VEC:
+        return None  # block exceeds the 64 KiB image (caller falls back)
 
-    # scratch decode: the stream is already validated, replay it
-    dec = np.zeros(out_end, dtype=np.uint8)
+    # scratch decode: the stream is already validated, replay it.  The
+    # scratch IS the mirror (a full output image): pat[j] = out[j].
+    dec = np.zeros(PAT_ROWS * VEC, dtype=np.uint8)
     for t in range(n_tags):
         kind, L, arg, d = (int(recs[t, 0]), int(recs[t, 1]),
                            int(recs[t, 2]), int(recs[t, 3]))
@@ -137,9 +163,7 @@ def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
                 dec[d : d + L] = np.tile(dec[s0:d], reps)[:L]
 
     pieces: list[tuple[int, int, int]] = []
-    pat = np.zeros(PAT_ROWS * VEC, dtype=np.uint8)
-    pat_base0 = COMP_BASE + len(comp)  # mirror lives right after comp
-    mirror_used = 0
+    pat_base0 = mirror_base_for(len(comp))  # 128-aligned mirror base
 
     # literal output intervals (ascending), for copy -> payload remap
     import bisect
@@ -159,27 +183,15 @@ def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
     run_start = -1
     run_end = -1
 
-    def flush_run() -> bool:
-        nonlocal run_start, mirror_used
+    def flush_run() -> None:
+        nonlocal run_start
         if run_start < 0:
-            return True
-        ln = run_end - run_start
-        # phase-align the run in the mirror: pad so the mirror address
-        # is congruent to the destination mod 128.  Every piece of the
-        # run then has rot == 0, which lets the kernel route it through
-        # the roll-free trip class AND keeps subpanels dense (unaligned
-        # runs each cost a rotation group under the rot-homogeneous
-        # packer).  Align whenever the mirror has room for the pad.
-        pad = (run_start - (pat_base0 + mirror_used)) % VEC
-        if mirror_used + pad + ln <= PAT_ROWS * VEC:
-            mirror_used += pad
-        if mirror_used + ln > PAT_ROWS * VEC:
-            return False
-        pat[mirror_used : mirror_used + ln] = dec[run_start:run_end]
-        emit_linear(pat_base0 + mirror_used, run_start, ln)
-        mirror_used += ln
+            return
+        # the mirror is the output image at an aligned base: the run's
+        # source address is pat_base0 + run_start — same phase as the
+        # destination, so every piece is rot 0 (roll-free trip class)
+        emit_linear(pat_base0 + run_start, run_start, run_end - run_start)
         run_start = -1
-        return True
 
     for t in range(n_tags):
         kind, L, arg, d = (int(recs[t, 0]), int(recs[t, 1]),
@@ -197,25 +209,22 @@ def plan_flat(recs: np.ndarray, n_tags: int, comp: np.ndarray,
             if i >= 0 and lit_e[i] >= s0 + L:
                 b_direct = COMP_BASE + lit_a[i] + (s0 - lit_s[i])
         if b_direct >= 0:
-            if not flush_run():
-                return None
+            flush_run()
             emit_linear(b_direct, d, L)
         else:
             if run_start < 0:
                 run_start = d
             elif run_end != d:  # non-contiguous (cannot happen: tags tile)
-                if not flush_run():
-                    return None
+                flush_run()
                 run_start = d
             run_end = d + L
         if piece_cap is not None and len(pieces) > piece_cap:
             return None
-    if not flush_run():
-        return None
+    flush_run()
     if piece_cap is not None and len(pieces) > piece_cap:
         return None
 
-    return np.array(pieces, dtype=np.int32).reshape(-1, 3), pat
+    return np.array(pieces, dtype=np.int32).reshape(-1, 3), dec
 
 
 
@@ -369,10 +378,12 @@ def execute_flat_np(meta: np.ndarray, starts: np.ndarray, n_trips: int,
 
 
 def build_b_bytes(comp: np.ndarray, mirror: np.ndarray, rb: int) -> np.ndarray:
-    """Host-side B buffer: pad row + comp + mirror + guard."""
+    """Host-side B buffer: pad row + comp + image mirror (at the
+    128-aligned base) + guard."""
     b = np.zeros(rb * VEC, dtype=np.uint8)
     b[VEC : VEC + len(comp)] = comp
-    b[VEC + len(comp) : VEC + len(comp) + len(mirror)] = mirror
+    mb = mirror_base_for(len(comp))
+    b[mb : mb + len(mirror)] = mirror
     return b
 
 

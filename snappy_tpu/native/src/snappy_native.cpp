@@ -661,7 +661,8 @@ namespace flatplan {
 static const int kVec = 128;
 static const int kNsub = 4;
 static const int kWRows = 128;
-static const int kPatRows = 576;  // 512 data rows + alignment-pad slack
+static const int kPatRows = 512;  // a full 64 KiB output IMAGE
+                                  // (mirror[j] = out[j]; v2.5)
 // Direct-gather threshold: below it bytes ride the phase-aligned
 // mirror — a direct gather costs its own rotation group under the
 // rot-homogeneous packer, worth it only for long literals (many
@@ -801,14 +802,15 @@ namespace flatplan {
 // Driven tag-by-tag either from parsed records (sn_plan_flat, the
 // Python-contract mirror) or inline from the byte stream
 // (sn_plan_flat_fused, the production single-pass path) — both produce
-// bit-identical plans.
+// bit-identical plans.  v2.5: the replay target IS the mirror — a full
+// output image (dec == pat region, mirror[j] = out[j]) at a
+// 128-aligned B base, so run pieces are emitted in place with no
+// memcpy, no phase pads, and no capacity failure, all rot 0.
 struct Ctx {
-  uint8_t* dec;
+  uint8_t* dec;  // the mirror image region (pat buffer / B row)
   const uint8_t* comp;
-  uint8_t* pat_out;
-  int64_t pat_base0;
+  int64_t pat_base0;  // B address of dec[0]; 128-aligned
   int64_t piece_cap;
-  int64_t mirror_used = 0;
   int64_t run_start = -1, run_end = -1;
   std::vector<Piece>* pieces;
   std::vector<int64_t>*lits, *lite, *lita;
@@ -823,22 +825,12 @@ struct Ctx {
       ln -= take;
     }
   }
-  bool flush_run() {
-    if (run_start < 0) return true;
-    int64_t ln = run_end - run_start;
-    // phase alignment (mirrors plan_flat.flush_run): rot==0 pieces
-    // ride the kernel's roll-free trip class and keep rot-homogeneous
-    // subpanels dense — align whenever the mirror has room for the pad
-    int64_t pad =
-        ((run_start - (pat_base0 + mirror_used)) % kVec + kVec) % kVec;
-    if (mirror_used + pad + ln <= (int64_t)kPatRows * kVec)
-      mirror_used += pad;
-    if (mirror_used + ln > (int64_t)kPatRows * kVec) return false;
-    memcpy(pat_out + mirror_used, dec + run_start, (size_t)ln);
-    emit_linear(pat_base0 + mirror_used, run_start, ln);
-    mirror_used += ln;
+  void flush_run() {
+    if (run_start < 0) return;
+    // image mirror: source address pat_base0 + run_start shares the
+    // destination's phase (base aligned), so every piece is rot 0
+    emit_linear(pat_base0 + run_start, run_start, run_end - run_start);
     run_start = -1;
-    return true;
   }
   // returns false on budget overflow (caller falls back)
   bool tag(int64_t kind, int64_t L, int64_t arg, int64_t d) {
@@ -874,13 +866,13 @@ struct Ctx {
         b_direct = kVec + (*lita)[i] + (s0 - (*lits)[i]);
     }
     if (b_direct >= 0) {
-      if (!flush_run()) return false;
+      flush_run();
       emit_linear(b_direct, d, L);
     } else {
       if (run_start < 0) {
         run_start = d;
       } else if (run_end != d) {  // non-contiguous (cannot happen)
-        if (!flush_run()) return false;
+        flush_run();
         run_start = d;
       }
       run_end = d + L;
@@ -888,28 +880,31 @@ struct Ctx {
     return piece_cap < 0 || (int64_t)pieces->size() <= piece_cap;
   }
   bool finish() {
-    if (!flush_run()) return false;
+    flush_run();
     return piece_cap < 0 || (int64_t)pieces->size() <= piece_cap;
   }
 };
 
 // thread_local planning scratch shared by both entry points
-static thread_local std::vector<uint8_t> dec_buf;
 static thread_local std::vector<Piece> pieces_buf;
 static thread_local std::vector<int64_t> lit_s, lit_e, lit_a;
 
-static Ctx make_ctx(const uint8_t* comp, uint64_t comp_len, int64_t out_end,
-                    int64_t piece_cap, uint8_t* pat_out) {
-  if ((int64_t)dec_buf.size() < out_end) dec_buf.resize((size_t)out_end);
+// B address of mirror[0]: first row boundary past the payload
+// (mirrors kernels.decode_flat.mirror_base_for)
+static inline int64_t mirror_base(uint64_t comp_len) {
+  return (kVec + (int64_t)comp_len + kVec - 1) & ~(int64_t)(kVec - 1);
+}
+
+static Ctx make_ctx(const uint8_t* comp, uint64_t comp_len,
+                    int64_t piece_cap, uint8_t* pat_region) {
   pieces_buf.clear();
   lit_s.clear();
   lit_e.clear();
   lit_a.clear();
   Ctx c;
-  c.dec = dec_buf.data();
+  c.dec = pat_region;  // replay writes the image in place
   c.comp = comp;
-  c.pat_out = pat_out;
-  c.pat_base0 = kVec + (int64_t)comp_len;
+  c.pat_base0 = mirror_base(comp_len);
   c.piece_cap = piece_cap;
   c.pieces = &pieces_buf;
   c.lits = &lit_s;
@@ -933,7 +928,8 @@ int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
   const int64_t out_end =
       n_tags ? (int64_t)rec[4 * (n_tags - 1) + 3] + rec[4 * (n_tags - 1) + 1]
              : 0;
-  Ctx ctx = make_ctx(comp, comp_len, out_end, piece_cap, pat_out);
+  if (out_end > (int64_t)kPatRows * kVec) return SN_ERR_BUFFER;
+  Ctx ctx = make_ctx(comp, comp_len, piece_cap, pat_out);
   for (uint64_t t = 0; t < n_tags; t++) {
     if (!ctx.tag(rec[4 * t + 0], rec[4 * t + 1], rec[4 * t + 2],
                  rec[4 * t + 3]))
@@ -1031,10 +1027,11 @@ int64_t sn_plan_flat_fused(const uint8_t* src, uint64_t n, uint64_t s,
                            int32_t* starts_out, uint8_t* pat_out) {
   using namespace flatplan;
   if (trip_cap > 256) return SN_ERR_BUFFER;
+  if ((int64_t)dst_len > (int64_t)kPatRows * kVec) return SN_ERR_BUFFER;
   memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
   memset(pat_out, 0, (size_t)kPatRows * kVec);
 
-  Ctx ctx = make_ctx(src, n, (int64_t)dst_len, piece_cap, pat_out);
+  Ctx ctx = make_ctx(src, n, piece_cap, pat_out);
   int rc = fused_walk(src, n, s, dst_len, ctx);
   if (rc != SN_OK) return rc;
   return pack(pieces_buf, rb, trip_cap, meta, starts_out);
@@ -1043,13 +1040,14 @@ int64_t sn_plan_flat_fused(const uint8_t* src, uint64_t n, uint64_t s,
 // Fused STAGE: the whole host half of the flat decode engine in one
 // call — parse+validate+replay+classify+pack (identical plans to
 // sn_plan_flat_fused; tests enforce) AND assemble the device B row
-// in place: element bytes at b_row[128, 128+n), mirror runs written
-// directly after (pat_base0 = 128 + n), pad row zeroed.  No
-// intermediate pat buffer, no 73 KiB memset (alignment-pad gaps and
-// the tail are never gathered by any piece: the kernel's one-hot row
-// select + per-piece lane mask only ever read bytes the planner
-// wrote), and no Python-side payload/mirror copies.  b_row: uint8
-// [rb*128], caller-owned, may be uninitialized (np.empty).
+// in place: element bytes at b_row[128, 128+n), the mirror IMAGE
+// written by the replay itself at the 128-aligned mirror_base(n) —
+// the replay's one pass over the output bytes is the only byte
+// traffic.  No pat buffer, no run memcpy, no 64 KiB memset (the
+// payload/mirror gap and the image tail are never gathered by any
+// piece: the kernel's one-hot row select + per-piece lane mask only
+// ever read bytes the planner wrote).  b_row: uint8[rb*128],
+// caller-owned, may be uninitialized (np.empty).
 // Returns pack()'s n_trips|(n_aligned<<16), SN_ERR_CORRUPT, or
 // SN_ERR_BUFFER past a cap (caller falls back per chunk).
 int64_t sn_stage_flat_dec(const uint8_t* src, uint64_t n, uint64_t s,
@@ -1058,11 +1056,14 @@ int64_t sn_stage_flat_dec(const uint8_t* src, uint64_t n, uint64_t s,
                           int32_t* starts_out, uint8_t* b_row) {
   using namespace flatplan;
   if (trip_cap > 256) return SN_ERR_BUFFER;
+  if ((int64_t)dst_len > (int64_t)kPatRows * kVec) return SN_ERR_BUFFER;
+  if (mirror_base(n) + (int64_t)dst_len > rb * (int64_t)kVec)
+    return SN_ERR_BUFFER;  // caller's rb cannot hold payload + image
   memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
   memset(b_row, 0, kVec);  // pad row
   memcpy(b_row + kVec, src, (size_t)n);
 
-  Ctx ctx = make_ctx(src, n, (int64_t)dst_len, piece_cap, b_row + kVec + n);
+  Ctx ctx = make_ctx(src, n, piece_cap, b_row + mirror_base(n));
   int rc = fused_walk(src, n, s, dst_len, ctx);
   if (rc != SN_OK) return rc;
   return pack(pieces_buf, rb, trip_cap, meta, starts_out);

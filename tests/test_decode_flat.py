@@ -328,10 +328,8 @@ def test_overlapping_copy_into_mismatched_period_run(rng):
     pat_c = np.empty(DF.PAT_ROWS * VEC, np.uint8)
     g = native.plan_flat(recs, 3, comp, rb, meta_c, starts_c, pat_c)
     assert g == ntr
-    bc = np.zeros(rb * VEC, np.uint8)
-    bc[VEC : VEC + len(comp)] = comp
-    bc[VEC + len(comp) : VEC + len(comp) + len(pat_c)] = pat_c
-    out_c = execute_flat_np(meta_c, starts_c, g, bc, len(exp))
+    out_c = execute_flat_np(meta_c, starts_c, g,
+                            build_b_bytes(comp, pat_c, rb), len(exp))
     assert out_c.tobytes() == exp
 
 
@@ -357,10 +355,8 @@ def test_wide_corpus_sweep_np_contract(rng):
         rb = rows_b_for(len(cb))
         g = native.plan_flat(_TMP, nt, cb, rb, meta, starts, pat)
         assert g is not None, k
-        bb = np.zeros(rb * VEC, np.uint8)
-        bb[VEC : VEC + len(cb)] = cb
-        bb[VEC + len(cb) : VEC + len(cb) + DF.PAT_ROWS * VEC] = pat
-        out = execute_flat_np(meta, starts, g, bb, dlen)
+        out = execute_flat_np(meta, starts, g,
+                              build_b_bytes(cb, pat, rb), dlen)
         bad += out.tobytes() != blk
     assert bad == 0, f"{bad}/{nblk} blocks wrong"
 

@@ -89,12 +89,11 @@ for k in range(n_batches):
         t0 = time.perf_counter()
         nt = native.parse_tags(c, h, BMAX, tmp)
         if mode == "decode":
-            g = native.plan_flat(tmp, nt, cb, RB, meta[i], starts[i], fpat)
+            g = native.stage_flat_dec(cb, h, len(block), RB, meta[i],
+                                      starts[i], b_u8[i])
             assert g is not None, "plan overflow"
             ntr[i] = g
             t_plan += time.perf_counter() - t0
-            b_u8[i, VEC : VEC + len(cb)] = cb
-            b_u8[i, VEC + len(cb) : VEC + len(cb) + PAT_ROWS * VEC] = fpat
             exp.append(block)
         else:
             r = native.plan_flat_enc(tmp, nt, cb, RB_ENC, meta[i], starts[i],

@@ -53,12 +53,10 @@ if engine == "flat":
         c = native.compress(block)
         _, h = read_uvarint(c, 0)
         cb = np.frombuffer(c, np.uint8)
-        g = native.plan_flat_fused(cb, h, len(block), rb, meta[i], fst[i],
-                                   pat)
+        g = native.stage_flat_dec(cb, h, len(block), rb, meta[i], fst[i],
+                                   b_u8[i])
         assert g is not None
         ntr[i] = g
-        b_u8[i, VEC : VEC + len(cb)] = cb
-        b_u8[i, VEC + len(cb) : VEC + len(cb) + PAT_ROWS * VEC] = pat
     args = tuple(map(jax.device_put, (
         b_u8.astype(np.int32).reshape(B, -1, VEC), meta, fst, ntr)))
 
