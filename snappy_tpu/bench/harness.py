@@ -809,7 +809,8 @@ def _scaling_bench_subprocess() -> dict:
         }
 
 
-def scaling_bench(repeats: int = 4, virtual: bool = False) -> dict:
+def scaling_bench(repeats: int = 4, virtual: bool = False,
+                  flat: bool = True) -> dict:
     """GB/s scaling evidence across the local device mesh (BASELINE
     config 4): decode the same enwik-like block workload on 1 device vs
     all devices.
@@ -874,13 +875,49 @@ def scaling_bench(repeats: int = 4, virtual: bool = False) -> dict:
     else:
         eff = (times[1] / times[n_dev]) / n_dev
         note = "strong scaling: speedup / n_devices"
-    return {
+    out = {
         "scaling_devices": n_dev,
         "scaling_time_1dev_s": round(times[1], 4),
         "scaling_time_ndev_s": round(times[n_dev], 4),
         "scaling_efficiency": round(eff, 4),
         "scaling_note": note,
     }
+
+    # PRODUCTION flat engine scaling (VERDICT r2 #5): the same 1-vs-N
+    # comparison over the shard_map'd flat decode (host-staged plans,
+    # device CRC fused).  Smaller workload: off-TPU the kernel runs in
+    # interpret mode, so the partitioning-overhead signal saturates
+    # quickly.
+    if flat and native.available():
+        Bf = 2 * n_dev
+        elems = [
+            native.compress(data[i * BMAX : (i + 1) * BMAX])
+            for i in range(Bf)
+        ]
+        staged = dmesh.stage_flat_dec_batch(elems, cmax=CMAX)
+        ftimes = {}
+        for nd in (1, n_dev):
+            mesh = dmesh.make_mesh(nd)
+            fo, fe = dmesh.sharded_decode_flat(
+                mesh, *staged, out_max=BMAX)  # warm
+            assert (fe == 0).all(), "flat scaling: device CRC mismatch"
+            assert fo[0, :BMAX].tobytes() == data[:BMAX]
+            best = None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                dmesh.sharded_decode_flat(mesh, *staged, out_max=BMAX)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            ftimes[nd] = best
+        out["scaling_time_flat_1dev_s"] = round(ftimes[1], 4)
+        out["scaling_time_flat_ndev_s"] = round(ftimes[n_dev], 4)
+        if virtual:
+            out["scaling_efficiency_flat"] = round(
+                min(1.0, ftimes[1] / ftimes[n_dev]), 4)
+        else:
+            out["scaling_efficiency_flat"] = round(
+                (ftimes[1] / ftimes[n_dev]) / n_dev, 4)
+    return out
 
 
 def run_bench(

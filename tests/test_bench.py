@@ -47,7 +47,7 @@ def test_ref_sizes_uses_external_oracle():
 def test_scaling_bench_virtual_mesh():
     # conftest provides the 8-device CPU mesh: must return a non-null
     # efficiency (the r1 bench shipped null — VERDICT missing #5)
-    out = harness.scaling_bench(repeats=1, virtual=True)
+    out = harness.scaling_bench(repeats=1, virtual=True, flat=False)
     assert out["scaling_devices"] == 8
     assert out["scaling_efficiency"] is not None
     assert 0 < out["scaling_efficiency"] <= 1.0

@@ -79,3 +79,61 @@ def test_decode_sharded(rng, mesh8):
     assert (err == 0).all()
     for i, s in enumerate(samples):
         assert out[i, : len(s)].tobytes() == s
+
+
+def test_sharded_flat_engines_bit_exact(rng, mesh8):
+    """VERDICT r2 #5: the PRODUCTION flat engines sharded over the mesh
+    — encode emission equals the host encoder byte-for-byte on every
+    shard, decode round-trips with the fused device CRC green, and the
+    results are independent of shard placement (compare vs 1-device
+    mesh)."""
+    native = pytest.importorskip("snappy_tpu.native")
+    if not native.available():
+        pytest.skip("native library unavailable")
+    blocks = [
+        (b"sharded flat engine block " * 80)[:2048],
+        rng.randbytes(2048),
+        b"Q" * 1500,
+        (b"ab" * 2000)[:1400],
+        rng.randbytes(50) + b"x" * 900,
+        b"",
+    ]
+    eb, emeta, efst, entr, clens, hdrs, elems = dmesh.stage_flat_enc_batch(
+        blocks
+    )
+    emis = dmesh.sharded_encode_flat(mesh8, eb, emeta, efst, entr)
+    for i, blk in enumerate(blocks):
+        assert emis[i, : clens[i]].tobytes() == elems[i], f"block {i}"
+        assert elems[i] == native.compress(blk), f"block {i}"
+
+    db, dmeta, dfst, dntr, dlens, want = dmesh.stage_flat_dec_batch(elems)
+    out8, err8 = dmesh.sharded_decode_flat(
+        mesh8, db, dmeta, dfst, dntr, dlens, want, out_max=65536
+    )
+    assert (err8 == 0).all()
+    mesh1 = dmesh.make_mesh(1)
+    out1, err1 = dmesh.sharded_decode_flat(
+        mesh1, db, dmeta, dfst, dntr, dlens, want, out_max=65536
+    )
+    assert (err1 == 0).all()
+    for i, blk in enumerate(blocks):
+        assert out8[i, : len(blk)].tobytes() == blk, f"block {i}"
+    assert (out8 == out1).all(), "shard placement changed bytes"
+
+
+def test_sharded_flat_decode_crc_flags_corruption(rng, mesh8):
+    """A wrong expected CRC on one shard must surface as err 100 from
+    that row only (the fused device CRC is the integrity barrier)."""
+    native = pytest.importorskip("snappy_tpu.native")
+    if not native.available():
+        pytest.skip("native library unavailable")
+    blocks = [rng.randbytes(1024) for _ in range(8)]
+    elems = [native.compress(b) for b in blocks]
+    db, dmeta, dfst, dntr, dlens, want = dmesh.stage_flat_dec_batch(elems)
+    want = want.copy()
+    want[3] ^= 0xDEAD
+    out, err = dmesh.sharded_decode_flat(
+        mesh8, db, dmeta, dfst, dntr, dlens, want, out_max=65536
+    )
+    assert err[3] == 100
+    assert (np.delete(err, 3) == 0).all()
