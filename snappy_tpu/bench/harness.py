@@ -159,8 +159,7 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
     # wave-group staging: host parse + plan (the production TPU path)
     wave_args = []
     if native.available():
-        from snappy_tpu.kernels.decode_wavegroup import pack_plan
-        from snappy_tpu.runtime.device_codec import WAVE_G_CAP
+        from snappy_tpu.kernels.decode_wavegroup import WAVE_G_CAP, pack_plan
 
         tmp = np.empty((CMAX // 2 + 2, 4), np.int32)
         wtmp = np.zeros((WAVE_G_CAP, 16), np.int32)

@@ -149,6 +149,7 @@ def host_compress_framed(data_local: bytes, chunk_start: int,
     from snappy_tpu.spec.format import (
         CHUNK_COMPRESSED,
         CHUNK_UNCOMPRESSED,
+    framed_chunk_type,
         mask_crc,
         put_uvarint,
     )
@@ -160,9 +161,8 @@ def host_compress_framed(data_local: bytes, chunk_start: int,
         chunk = bytes(data_v[off : off + chunk_len])
         checksum = mask_crc(device_codec._crc32c_host(chunk))
         body = put_uvarint(chunk_len) + blob
-        ctype = CHUNK_COMPRESSED
-        if len(body) >= chunk_len - chunk_len // 8:
-            ctype = CHUNK_UNCOMPRESSED
+        ctype = framed_chunk_type(chunk_len, len(body))
+        if ctype == CHUNK_UNCOMPRESSED:
             body = chunk
         blen = len(body) + 4
         rec = (

@@ -40,6 +40,7 @@ import numpy as np
 
 __all__ = [
     "SLOTS",
+    "WAVE_G_CAP",
     "SPAN_BYTES",
     "SPAN_ROWS",
     "plan_waves",
@@ -47,6 +48,12 @@ __all__ = [
 ]
 
 SLOTS = 8
+# Wave-plan capacity: one kernel variant (compile time matters through
+# the remote Mosaic service); plans that exceed it fall back per chunk.
+# Out of the runtime ladder since round 3 (VERDICT r2 #6) — the flat
+# engine dominates it everywhere — kept as a standalone engine with
+# its own tests and bench phase.
+WAVE_G_CAP = 8192
 SPAN_ROWS = 10          # compose window rows (span + alignment slack)
 SPAN_BYTES = (SPAN_ROWS - 2) * 128  # group output span cap (1024)
 

@@ -45,6 +45,7 @@ from snappy_tpu.spec.format import (
     CHUNK_PADDING,
     CHUNK_STREAM_ID,
     CHUNK_UNCOMPRESSED,
+    framed_chunk_type,
     MAX_BLOCK_SIZE,
     MAX_CHUNK_UNCOMPRESSED,
     MAX_UNCOMPRESSED_LEN,
@@ -104,10 +105,13 @@ def _decode_pretagged_and_crc(arr, recs, ntags, dlens, want_crc, out_max: int):
 # the pure-device path remains for environments without the native lib.
 HOST_PARSE = os.environ.get("SNAPPY_TPU_HOST_PARSE", "1") != "0"
 
-# Pallas sequential kernels (round 2): the only engines that run at
-# real speed on the TPU itself.  "auto" = on when the backend platform
-# is tpu (the Mosaic kernels target TPU; the CPU interpret path is for
-# tests), "1"/"0" force.
+# Mosaic (on-TPU) engine gate.  "auto" = on when the backend platform
+# is tpu (the pallas kernels target TPU; the CPU interpret path is for
+# tests), "1"/"0" force.  Round-3 ladder consolidation (VERDICT r2 #6):
+# this now gates only the FLAT engines — the sequential pallas and
+# wave-group engines remain standalone kernels (kernels/, tests,
+# bench per-engine evidence) but are out of the runtime ladder, where
+# they could never be selected on merit.
 _PALLAS_MODE = os.environ.get("SNAPPY_TPU_PALLAS", "auto")
 _pallas_cache: bool | None = None
 
@@ -127,28 +131,10 @@ def _pallas_enabled() -> bool:
     return _pallas_cache
 
 
-@functools.partial(jax.jit, static_argnames=("out_max",))
-def _decode_pallas_and_crc(arr, starts, clens, dlens, want_crc, out_max: int):
-    """Pallas decode + device CRC.  err: kernel codes 1-4 (caller
-    re-decodes those rows on host for exact error surfacing) or 100 for
-    a checksum mismatch."""
-    from snappy_tpu.kernels.pallas_decode import decode_blocks_pallas
-
-    out, err = decode_blocks_pallas(arr, starts, clens, dlens, out_max=out_max)
-    crc = crc32c_chunks(out, dlens)
-    crc_bad = (crc != want_crc) & (err == 0)
-    err = jnp.where(crc_bad, jnp.int32(100), err)
-    return out, err
-
-
-# Wave-plan capacity: one kernel variant (compile time matters through
-# the remote Mosaic service); plans that exceed it fall back per chunk.
-WAVE_G_CAP = 8192
-
 # Flat-plan engine (kernels/decode_flat): host resolves every output
 # byte to a dependency-free source, device executes MXU one-hot
-# gather/compose trips — the fastest measured on-TPU decode engine
-# (docs/performance.md).  Off → wave engine.
+# gather/compose trips — the fastest measured on-TPU engine pair
+# (docs/performance.md).  Off → hybrid host-parse path.
 FLAT = os.environ.get("SNAPPY_TPU_FLAT", "1") != "0"
 
 # Host planning pool: per-row plans are independent and the native
@@ -181,17 +167,6 @@ def _plan_elem_tls() -> np.ndarray:
                      np.uint8)
         _plan_scratch.elem = s
     return s
-
-
-@functools.partial(jax.jit, static_argnames=("out_max",))
-def _decode_wave_and_crc(arr, words, ngroups, dlens, want_crc, out_max: int):
-    """Wave-group decode (validated host plans) + device CRC."""
-    from snappy_tpu.kernels.decode_wavegroup import decode_blocks_wavegroup
-
-    out = decode_blocks_wavegroup(arr, words, ngroups, out_max=out_max)
-    crc = crc32c_chunks(out, dlens)
-    err = jnp.where(crc != want_crc, jnp.int32(100), jnp.int32(0))
-    return out, err
 
 
 def _flat_trim(ntr: np.ndarray, starts: np.ndarray, rb: int,
@@ -272,15 +247,12 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
     bmax = 256
     while bmax < chunk_size:
         bmax *= 2
-    from snappy_tpu.kernels.pallas_encode import ELANES, encode_blocks_pallas
-
-    use_pallas = _pallas_enabled() and BATCH % ELANES == 0
     from snappy_tpu import native as _native
 
     # flat-encode engine: the host matcher IS the planning pass (its
     # emission is replayed on device byte-for-byte, so the ratio bound
     # is structural and RATIO_GUARD's duplicate host encode is free)
-    use_flat_enc = use_pallas and FLAT and _native.available()
+    use_flat_enc = FLAT and _pallas_enabled() and _native.available()
     handles = []
     counts = []
     lens_all = []
@@ -345,12 +317,6 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             )
             flat_aux[len(handles)] = (hdrs, fallback)
             handles.append(("flat", (comp, clens_h, None)))
-        elif use_pallas:
-            # pallas emission is byte-identical to the reference encoder
-            # (tests/test_pallas_encode.py) — ratio bound is structural,
-            # no ok-flag and no RATIO_GUARD needed on this engine
-            comp, clens, _perr = encode_blocks_pallas(arr, lens, bmax=bmax)
-            handles.append(("pallas", (comp, clens, None)))
         else:
             handles.append(("jnp", encode_jnp.encode_blocks(arr, lens, bmax=bmax)))
         counts.append(cnt)
@@ -382,8 +348,8 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             else:  # hash-collision fallback (~never)
                 off = idx * chunk_size
                 blob = _oracle_block(bytes(data[off : off + chunk_size]))
-            if RATIO_GUARD and engine not in ("pallas", "flat"):
-                # pallas/flat emission IS the reference emission; guard
+            if RATIO_GUARD and engine != "flat":
+                # the flat emission IS the reference emission; guard
                 # only the approximating jnp engine
                 off = idx * chunk_size
                 ref = _oracle_block(bytes(data[off : off + chunk_size]))
@@ -413,9 +379,8 @@ def compress_framed(data: bytes, chunk_size: int = MAX_CHUNK_UNCOMPRESSED) -> by
         chunk = data_v[off : off + chunk_len]
         checksum = mask_crc(_crc32c_host(chunk))
         body = put_uvarint(chunk_len) + blob
-        chunk_type = CHUNK_COMPRESSED
-        if len(body) >= chunk_len - chunk_len // 8:
-            chunk_type = CHUNK_UNCOMPRESSED
+        chunk_type = framed_chunk_type(chunk_len, len(body))
+        if chunk_type == CHUNK_UNCOMPRESSED:
             body = bytes(chunk)
         blen = len(body) + 4
         out += bytes((chunk_type, blen & 0xFF, (blen >> 8) & 0xFF, (blen >> 16) & 0xFF))
@@ -541,14 +506,13 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
         from snappy_tpu import native as _native
 
         use_host_parse = HOST_PARSE and use_dev_crc and _native.available()
-        from snappy_tpu.kernels.pallas_decode import LANES as _PD_LANES
-
-        use_pallas = (
-            _pallas_enabled() and use_dev_crc and BATCH % _PD_LANES == 0
+        # production on-TPU engine: the flat plan (host fused stage +
+        # MXU gather/compose kernel + fused device CRC); one fallback
+        # (hybrid host-parse), one portable path (jnp).  VERDICT r2 #6.
+        use_flat = (
+            FLAT and _pallas_enabled() and use_dev_crc
+            and _native.available()
         )
-        # wave-group engine: host parse + plan (native, ~1.4 GB/s) +
-        # the fastest device kernel (docs/performance.md round-2 table)
-        use_wave = use_pallas and _native.available()
         # Max elements per chunk: every element is >= 2 payload bytes
         # (1-byte-literal tag+data, or a 1-byte-offset copy), so a
         # p_len <= _DECODE_CMAX payload holds at most _DECODE_CMAX//2
@@ -581,8 +545,7 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 clens[row] = p_len
                 dlens[row] = dst_len
                 want[row] = unmask_crc(crc)
-            wave_failed = False
-            if use_wave and FLAT:
+            if use_flat:
                 from snappy_tpu.kernels.decode_flat import (
                     TRIP_CAP as _F_TRIPS,
                     rows_b_for,
@@ -658,60 +621,6 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                     ),
                     host_rows,
                 ))
-            elif use_wave:
-                from snappy_tpu.kernels.decode_wavegroup import pack_plan
-
-                tmp = np.empty((_T_CAP, 4), dtype=np.int32)
-                wtmp = np.zeros((WAVE_G_CAP, 16), dtype=np.int32)
-                wp = np.zeros((BATCH, WAVE_G_CAP // 8, 128), dtype=np.int32)
-                ng = np.zeros(BATCH, dtype=np.int32)
-                host_rows = set()
-                dlens_w = dlens.copy()
-                want_w = want.copy()
-                for row, i in enumerate(grp):
-                    _, p_off, p_len, crc, dst_len, hdr = chunks[i]
-                    nt = _native.parse_tags(
-                        src_arr[p_off : p_off + p_len].tobytes(), hdr, dst_len, tmp
-                    )
-                    g = _native.plan_waves(tmp, nt, wtmp)
-                    if g is None:
-                        # pathological plan density: this chunk decodes
-                        # on host; neutralize its device row
-                        blob = _host_decompress_raw(
-                            bytes(src_arr[p_off : p_off + p_len])
-                        )
-                        if len(blob) != dst_len:
-                            raise CorruptError(
-                                "chunk preamble disagrees with decoded size"
-                            )
-                        out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(
-                            blob, dtype=np.uint8
-                        )
-                        host_rows.add(row)
-                        fallback_verify.add(i)
-                        ng[row] = 0
-                        dlens_w[row] = 0
-                        want_w[row] = 0
-                        continue
-                    wp[row] = pack_plan(wtmp, g, WAVE_G_CAP)
-                    ng[row] = g
-                handles.append((
-                    "wave",
-                    _decode_wave_and_crc(
-                        arr, wp, ng, dlens_w, want_w,
-                        out_max=MAX_CHUNK_UNCOMPRESSED,
-                    ),
-                    host_rows,
-                ))
-            elif use_pallas:
-                handles.append((
-                    "pallas",
-                    _decode_pallas_and_crc(
-                        arr, starts, clens, dlens, want,
-                        out_max=MAX_CHUNK_UNCOMPRESSED,
-                    ),
-                    None,
-                ))
             elif use_host_parse:
                 # hybrid: validate + tag-parse on host (native C++),
                 # device does only the per-byte materialization + CRC
@@ -772,22 +681,6 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 if code == 100:
                     raise ChecksumError(chunks[i][3], None)
                 if code != decode_jnp.ERR_NONE:
-                    if engine == "pallas":
-                        # pallas err codes are coarse flags: re-decode on
-                        # host for the exact error (raises on corruption)
-                        _, p_off, p_len, _, dst_len, _ = chunks[i]
-                        blob = _host_decompress_raw(
-                            bytes(src_arr[p_off : p_off + p_len])
-                        )
-                        if len(blob) != dst_len:
-                            raise CorruptError(
-                                "chunk preamble disagrees with decoded size"
-                            )
-                        out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(
-                            blob, dtype=np.uint8
-                        )
-                        fallback_verify.add(i)
-                        continue
                     raise CorruptError(
                         decode_jnp.ERR_MESSAGES.get(code, "decode error")
                     )

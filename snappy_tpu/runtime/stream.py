@@ -23,6 +23,7 @@ from snappy_tpu.spec.format import (
     CHUNK_PADDING,
     CHUNK_STREAM_ID,
     CHUNK_UNCOMPRESSED,
+    framed_chunk_type,
     MAX_CHUNK_UNCOMPRESSED,
     STREAM_ID_CHUNK,
     STREAM_ID_PAYLOAD,
@@ -104,9 +105,8 @@ class FramedWriter(io.RawIOBase):
             self._wrote_header = True
         checksum = mask_crc(_crc(chunk))
         body = api.compress(chunk, backend=self._backend)
-        ctype = CHUNK_COMPRESSED
-        if len(body) >= len(chunk) - len(chunk) // 8:
-            ctype = CHUNK_UNCOMPRESSED
+        ctype = framed_chunk_type(len(chunk), len(body))
+        if ctype == CHUNK_UNCOMPRESSED:
             body = chunk
         blen = len(body) + 4
         self._sink.write(

@@ -21,6 +21,7 @@ from snappy_tpu.spec.format import (
     CHUNK_PADDING,
     CHUNK_STREAM_ID,
     CHUNK_UNCOMPRESSED,
+    framed_chunk_type,
     MAX_CHUNK_UNCOMPRESSED,
     STREAM_ID_CHUNK,
     STREAM_ID_PAYLOAD,
@@ -44,10 +45,10 @@ def compress_framed(src: bytes, chunk_size: int = MAX_CHUNK_UNCOMPRESSED) -> byt
         chunk = src[pos : pos + chunk_size]
         checksum = mask_crc(crc32c(chunk))
         body = reference.compress(chunk)
-        chunk_type = CHUNK_COMPRESSED
-        # Reference framing rule: require >= 12.5% savings, else store raw.
-        if len(body) >= len(chunk) - len(chunk) // 8:
-            chunk_type = CHUNK_UNCOMPRESSED
+        # Reference framing rule: require >= 12.5% savings, else store
+        # raw — the shared policy lives in format.framed_chunk_type.
+        chunk_type = framed_chunk_type(len(chunk), len(body))
+        if chunk_type == CHUNK_UNCOMPRESSED:
             body = chunk
         out += _chunk_header(chunk_type, len(body) + 4)
         out += bytes(
