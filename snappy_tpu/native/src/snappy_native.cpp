@@ -105,6 +105,159 @@ static inline uint64_t load64(const uint8_t* p) {
   return v;
 }
 
+static inline void store64(uint8_t* p, uint64_t v) { memcpy(p, &v, 8); }
+
+extern "C++" {  // templates cannot carry C linkage
+// Shared validating tag walk over one block element's payload.  The
+// fast loop decodes each tag from a single unaligned 64-bit load
+// (s + 8 <= n makes every tag's extra bytes readable without per-byte
+// bounds checks); the tail falls back to the byte-careful loop.  Sink
+// supplies the data movement:
+//   bool lit(uint64_t d, uint64_t s, uint64_t len)   src[s:s+len) -> out[d]
+//   bool copy(uint64_t d, uint64_t off, uint64_t len) out[d-off:..) -> out[d]
+//   bool finish()
+// false aborts with SN_ERR_BUFFER (planner budget overflow).
+template <class Sink>
+static int walk_stream(const uint8_t* src, uint64_t n, uint64_t s,
+                       uint64_t dst_len, Sink& sink) {
+  uint64_t d = 0;
+  while (s + 8 <= n) {
+    uint64_t w8 = load64(src + s);
+    uint32_t c = (uint32_t)w8 & 0xff;
+    uint64_t length, offset;
+    if ((c & 3) == 0) {
+      uint32_t x = c >> 2;
+      if (__builtin_expect(x < 60, 1)) {
+        length = (uint64_t)x + 1;
+        s += 1;
+      } else {
+        uint32_t nb = x - 59;  // 1..4 extra length bytes
+        uint64_t ex =
+            (w8 >> 8) & ((nb == 4) ? 0xffffffffull : ((1ull << (8 * nb)) - 1));
+        length = ex + 1;
+        s += 1 + nb;
+      }
+      if (length > dst_len - d || length > n - s) return SN_ERR_CORRUPT;
+      if (!sink.lit(d, s, length)) return SN_ERR_BUFFER;
+      s += length;
+      d += length;
+      continue;
+    } else if ((c & 3) == 1) {
+      length = 4 + ((c >> 2) & 7);
+      offset = ((uint64_t)(c & 0xe0) << 3) | ((w8 >> 8) & 0xff);
+      s += 2;
+    } else if ((c & 3) == 2) {
+      length = 1 + (c >> 2);
+      offset = (w8 >> 8) & 0xffff;
+      s += 3;
+    } else {
+      length = 1 + (c >> 2);
+      offset = (w8 >> 8) & 0xffffffffull;
+      s += 5;
+    }
+    if (offset == 0 || d < offset) return SN_ERR_CORRUPT;
+    if (length > dst_len - d) return SN_ERR_CORRUPT;
+    if (!sink.copy(d, offset, length)) return SN_ERR_BUFFER;
+    d += length;
+  }
+  // byte-careful tail (identical validation to the classic walk)
+  while (s < n) {
+    uint32_t tag = src[s] & 3;
+    uint64_t length, offset;
+    if (tag == 0) {
+      uint32_t x = src[s] >> 2;
+      if (x < 60) {
+        s += 1;
+      } else if (x == 60) {
+        s += 2;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 1];
+      } else if (x == 61) {
+        s += 3;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 2] | ((uint32_t)src[s - 1] << 8);
+      } else if (x == 62) {
+        s += 4;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 3] | ((uint32_t)src[s - 2] << 8) |
+            ((uint32_t)src[s - 1] << 16);
+      } else {
+        s += 5;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 4] | ((uint32_t)src[s - 3] << 8) |
+            ((uint32_t)src[s - 2] << 16) | ((uint32_t)src[s - 1] << 24);
+      }
+      length = (uint64_t)x + 1;
+      if (length > dst_len - d || length > n - s) return SN_ERR_CORRUPT;
+      if (!sink.lit(d, s, length)) return SN_ERR_BUFFER;
+      s += length;
+      d += length;
+      continue;
+    } else if (tag == 1) {
+      s += 2;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 4 + ((src[s - 2] >> 2) & 7);
+      offset = ((uint64_t)(src[s - 2] & 0xe0) << 3) | src[s - 1];
+    } else if (tag == 2) {
+      s += 3;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 3] >> 2);
+      offset = src[s - 2] | ((uint64_t)src[s - 1] << 8);
+    } else {
+      s += 5;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 5] >> 2);
+      offset = src[s - 4] | ((uint64_t)src[s - 3] << 8) |
+               ((uint64_t)src[s - 2] << 16) | ((uint64_t)src[s - 1] << 24);
+    }
+    if (offset == 0 || d < offset) return SN_ERR_CORRUPT;
+    if (length > dst_len - d) return SN_ERR_CORRUPT;
+    if (!sink.copy(d, offset, length)) return SN_ERR_BUFFER;
+    d += length;
+  }
+  if (d != dst_len) return SN_ERR_CORRUPT;
+  if (!sink.finish()) return SN_ERR_BUFFER;
+  return SN_OK;
+}
+}  // extern "C++"
+
+// Overlap-safe copy expansion with wide stores and slop.  Establishes
+// a store distance >= 8 that is a multiple of the period (byte phase
+// for offsets < 8), doubles the distance with full-period word writes
+// until >= 32, then streams 32-byte chunks.  Every word write copies
+// from exactly -dist, so bytes inside [start, end) are always correct;
+// garbage lands only in the <= 31-byte slop past the write frontier and
+// is overwritten by the next round or left past `end`.  Caller
+// guarantees end + 31 stays inside the allocation.
+static inline void copy_pattern_slop(uint8_t* dp, uint64_t offset,
+                                     uint64_t len) {
+  uint8_t* end = dp + len;
+  if (offset < 8) {
+    uint8_t* stop = dp + (len < 16 ? len : 16);
+    while (dp < stop) {
+      *dp = *(dp - offset);
+      dp++;
+    }
+    if (dp == end) return;
+    offset *= (8 + offset - 1) / offset;  // smallest multiple >= 8
+  }
+  const uint8_t* sp = dp - offset;
+  while ((uint64_t)(dp - sp) < 32) {
+    uint64_t dist = (uint64_t)(dp - sp);
+    for (uint64_t i = 0; i < dist; i += 8) store64(dp + i, load64(sp + i));
+    dp += dist;
+    if (dp >= end) return;
+  }
+  while (dp < end) {
+    store64(dp, load64(sp));
+    store64(dp + 8, load64(sp + 8));
+    store64(dp + 16, load64(sp + 16));
+    store64(dp + 24, load64(sp + 24));
+    dp += 32;
+    sp += 32;
+  }
+}
+
 static const int kMaxBlockSize = 65536;
 static const int kInputMargin = 15;
 static const int kMinNonLiteralBlockSize = 18;
@@ -269,70 +422,54 @@ int sn_uncompressed_length(const uint8_t* src, uint64_t n, uint64_t* out) {
 }
 
 // Strict validating decoder (reference error surface).
+// Pure-decode sink: wide copies with slop confined to THIS element's
+// output span (framed chunks decode concurrently into one buffer, so
+// slop must never cross into a neighbor's region).
+struct DecodeSink {
+  uint8_t* dst;
+  const uint8_t* src;
+  uint64_t dst_len, src_len;
+  inline bool lit(uint64_t d, uint64_t s, uint64_t L) {
+    if (d + L + 31 < dst_len && s + L + 31 < src_len) {
+      uint8_t* dp = dst + d;
+      const uint8_t* sp = src + s;
+      uint64_t i = 0;
+      do {
+        memcpy(dp + i, sp + i, 32);
+        i += 32;
+      } while (i < L);
+    } else {
+      memcpy(dst + d, src + s, (size_t)L);
+    }
+    return true;
+  }
+  inline bool copy(uint64_t d, uint64_t off, uint64_t L) {
+    if (d + L + 31 < dst_len) {
+      if (off >= 32) {
+        uint8_t* dp = dst + d;
+        const uint8_t* sp = dp - off;
+        uint64_t i = 0;
+        do {
+          memcpy(dp + i, sp + i, 32);
+          i += 32;
+        } while (i < L);
+      } else {
+        copy_pattern_slop(dst + d, off, L);
+      }
+    } else if (off >= 8 && L <= off) {
+      memcpy(dst + d, dst + d - off, (size_t)L);
+    } else {
+      for (uint64_t k = 0, p = d; k < L; k++, p++) dst[p] = dst[p - off];
+    }
+    return true;
+  }
+  inline bool finish() { return true; }
+};
+
 int sn_decode_block(const uint8_t* src, uint64_t n, uint64_t s, uint8_t* dst,
                     uint64_t dst_len) {
-  uint64_t d = 0;
-  while (s < n) {
-    uint32_t tag = src[s] & 3;
-    uint64_t length, offset;
-    if (tag == 0) {
-      uint32_t x = src[s] >> 2;
-      if (x < 60) {
-        s += 1;
-      } else if (x == 60) {
-        s += 2;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 1];
-      } else if (x == 61) {
-        s += 3;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 2] | ((uint32_t)src[s - 1] << 8);
-      } else if (x == 62) {
-        s += 4;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 3] | ((uint32_t)src[s - 2] << 8) | ((uint32_t)src[s - 1] << 16);
-      } else {
-        s += 5;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 4] | ((uint32_t)src[s - 3] << 8) | ((uint32_t)src[s - 2] << 16) |
-            ((uint32_t)src[s - 1] << 24);
-      }
-      length = (uint64_t)x + 1;
-      if (length > dst_len - d) return SN_ERR_CORRUPT;
-      if (length > n - s) return SN_ERR_CORRUPT;
-      memcpy(dst + d, src + s, length);
-      d += length;
-      s += length;
-      continue;
-    } else if (tag == 1) {
-      s += 2;
-      if (s > n) return SN_ERR_CORRUPT;
-      length = 4 + ((src[s - 2] >> 2) & 7);
-      offset = ((uint64_t)(src[s - 2] & 0xe0) << 3) | src[s - 1];
-    } else if (tag == 2) {
-      s += 3;
-      if (s > n) return SN_ERR_CORRUPT;
-      length = 1 + (src[s - 3] >> 2);
-      offset = src[s - 2] | ((uint64_t)src[s - 1] << 8);
-    } else {
-      s += 5;
-      if (s > n) return SN_ERR_CORRUPT;
-      length = 1 + (src[s - 5] >> 2);
-      offset = src[s - 4] | ((uint64_t)src[s - 3] << 8) | ((uint64_t)src[s - 2] << 16) |
-               ((uint64_t)src[s - 1] << 24);
-    }
-    if (offset == 0 || d < offset) return SN_ERR_CORRUPT;
-    if (length > dst_len - d) return SN_ERR_CORRUPT;
-    // overlap-safe byte copy (run semantics)
-    if (offset >= 8 && length <= offset) {
-      memcpy(dst + d, dst + d - offset, length);
-      d += length;
-    } else {
-      for (uint64_t k = 0; k < length; k++, d++) dst[d] = dst[d - offset];
-    }
-  }
-  if (d != dst_len) return SN_ERR_CORRUPT;
-  return SN_OK;
+  DecodeSink sink{dst, src, dst_len, n};
+  return walk_stream(src, n, s, dst_len, sink);
 }
 
 // Tag pre-parse for the hybrid device decoder: walk the element stream
@@ -811,9 +948,33 @@ struct Ctx {
   const uint8_t* comp;
   int64_t pat_base0;  // B address of dec[0]; 128-aligned
   int64_t piece_cap;
+  int64_t dec_cap;    // allocation size of dec (slop bound, NOT dst_len)
+  int64_t comp_len;   // allocation size of comp (literal slop bound)
   int64_t run_start = -1, run_end = -1;
   std::vector<Piece>* pieces;
   std::vector<int64_t>*lits, *lite, *lita;
+
+  // Wide replay copies: unconditional 32-byte chunks with slop.  Bytes
+  // written past d+L stay inside the allocation (guarded by the
+  // callers' dec_cap/comp_len margins) and are either overwritten by a
+  // later tag or never gathered by any piece — only [0, dst_len) of
+  // the image is plan-addressed.  Tail tags without margin take the
+  // exact-length memcpy path.
+  static inline void copy32(uint8_t* dst, const uint8_t* srcp) {
+    memcpy(dst, srcp, 32);
+  }
+  inline void replay_fwd(uint8_t* dp, const uint8_t* sp, int64_t L,
+                         bool margin) {
+    if (margin) {
+      int64_t i = 0;
+      do {
+        copy32(dp + i, sp + i);
+        i += 32;
+      } while (i < L);
+    } else {
+      memcpy(dp, sp, (size_t)L);
+    }
+  }
 
   void emit_linear(int64_t b, int64_t dst, int64_t ln) {
     while (ln > 0) {
@@ -835,7 +996,14 @@ struct Ctx {
   // returns false on budget overflow (caller falls back)
   bool tag(int64_t kind, int64_t L, int64_t arg, int64_t d) {
     if (kind == 0) {
-      memcpy(dec + d, comp + arg, (size_t)L);
+      replay_fwd(dec + d, comp + arg, L,
+                 d + L + 32 <= dec_cap && arg + L + 32 <= comp_len);
+    } else if (arg >= 32 && arg >= L) {
+      // non-overlapping at wide stride: slop reads land on already-
+      // written image bytes or in-allocation garbage, both fine
+      replay_fwd(dec + d, dec + d - arg, L, d + L + 32 <= dec_cap);
+    } else if (d + L + 31 < dec_cap) {
+      copy_pattern_slop(dec + d, arg, L);
     } else if (arg >= L) {
       memcpy(dec + d, dec + d - arg, (size_t)L);
     } else {
@@ -852,10 +1020,16 @@ struct Ctx {
     }
     int64_t b_direct = -1;
     if (kind == 0) {
-      lits->push_back(d);
-      lite->push_back(d + L);
-      lita->push_back(arg);
-      if (L >= g_direct_t) b_direct = kVec + arg;
+      // Index only literals that could ever satisfy a direct-copy
+      // lookup: a copy with L >= g_direct_t needs a covering literal
+      // (lits[i] <= s0, lite[i] >= s0+L), which is itself >= g_direct_t
+      // long — short literals can never be consulted.
+      if (L >= g_direct_t) {
+        lits->push_back(d);
+        lite->push_back(d + L);
+        lita->push_back(arg);
+        b_direct = kVec + arg;
+      }
     } else if (L >= g_direct_t) {
       int64_t s0 = d - arg;
       int64_t i =
@@ -883,6 +1057,13 @@ struct Ctx {
     flush_run();
     return piece_cap < 0 || (int64_t)pieces->size() <= piece_cap;
   }
+  // walk_stream sink adapters
+  inline bool lit(uint64_t d, uint64_t s, uint64_t L) {
+    return tag(0, (int64_t)L, (int64_t)s, (int64_t)d);
+  }
+  inline bool copy(uint64_t d, uint64_t off, uint64_t L) {
+    return tag(1, (int64_t)L, (int64_t)off, (int64_t)d);
+  }
 };
 
 // thread_local planning scratch shared by both entry points
@@ -891,12 +1072,23 @@ static thread_local std::vector<int64_t> lit_s, lit_e, lit_a;
 
 // B address of mirror[0]: first row boundary past the payload
 // (mirrors kernels.decode_flat.mirror_base_for)
+// Wide replay copies may smear <= 31 bytes of slop past the image end
+// (always < dec_cap); zero it after a successful walk so the image is
+// deterministic (np-contract parity: everything past dst_len is 0).
+static inline void zero_slop_tail(uint8_t* dec, int64_t dst_len,
+                                  int64_t cap) {
+  int64_t z = cap - dst_len;
+  if (z > 32) z = 32;
+  if (z > 0) memset(dec + dst_len, 0, (size_t)z);
+}
+
 static inline int64_t mirror_base(uint64_t comp_len) {
   return (kVec + (int64_t)comp_len + kVec - 1) & ~(int64_t)(kVec - 1);
 }
 
 static Ctx make_ctx(const uint8_t* comp, uint64_t comp_len,
-                    int64_t piece_cap, uint8_t* pat_region) {
+                    int64_t piece_cap, uint8_t* pat_region,
+                    int64_t dec_cap) {
   pieces_buf.clear();
   lit_s.clear();
   lit_e.clear();
@@ -906,6 +1098,8 @@ static Ctx make_ctx(const uint8_t* comp, uint64_t comp_len,
   c.comp = comp;
   c.pat_base0 = mirror_base(comp_len);
   c.piece_cap = piece_cap;
+  c.dec_cap = dec_cap;
+  c.comp_len = (int64_t)comp_len;
   c.pieces = &pieces_buf;
   c.lits = &lit_s;
   c.lite = &lit_e;
@@ -929,13 +1123,15 @@ int64_t sn_plan_flat(const int32_t* rec, uint64_t n_tags, const uint8_t* comp,
       n_tags ? (int64_t)rec[4 * (n_tags - 1) + 3] + rec[4 * (n_tags - 1) + 1]
              : 0;
   if (out_end > (int64_t)kPatRows * kVec) return SN_ERR_BUFFER;
-  Ctx ctx = make_ctx(comp, comp_len, piece_cap, pat_out);
+  Ctx ctx = make_ctx(comp, comp_len, piece_cap, pat_out,
+                     (int64_t)kPatRows * kVec);
   for (uint64_t t = 0; t < n_tags; t++) {
     if (!ctx.tag(rec[4 * t + 0], rec[4 * t + 1], rec[4 * t + 2],
                  rec[4 * t + 3]))
       return SN_ERR_BUFFER;
   }
   if (!ctx.finish()) return SN_ERR_BUFFER;
+  zero_slop_tail(pat_out, out_end, (int64_t)kPatRows * kVec);
   std::vector<Piece>& pieces = pieces_buf;
 
   return pack(pieces, rb, trip_cap, meta, starts_out);
@@ -958,66 +1154,7 @@ namespace flatplan {
 // SN_ERR_BUFFER (cap overflow, caller falls back).
 static int fused_walk(const uint8_t* src, uint64_t n, uint64_t s,
                       uint64_t dst_len, Ctx& ctx) {
-  uint64_t d = 0;
-  while (s < n) {
-    uint32_t tag = src[s] & 3;
-    uint64_t length, offset;
-    if (tag == 0) {
-      uint32_t x = src[s] >> 2;
-      if (x < 60) {
-        s += 1;
-      } else if (x == 60) {
-        s += 2;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 1];
-      } else if (x == 61) {
-        s += 3;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 2] | ((uint32_t)src[s - 1] << 8);
-      } else if (x == 62) {
-        s += 4;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 3] | ((uint32_t)src[s - 2] << 8) |
-            ((uint32_t)src[s - 1] << 16);
-      } else {
-        s += 5;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 4] | ((uint32_t)src[s - 3] << 8) |
-            ((uint32_t)src[s - 2] << 16) | ((uint32_t)src[s - 1] << 24);
-      }
-      length = (uint64_t)x + 1;
-      if (length > dst_len - d || length > n - s) return SN_ERR_CORRUPT;
-      if (!ctx.tag(0, (int64_t)length, (int64_t)s, (int64_t)d))
-        return SN_ERR_BUFFER;
-      s += length;
-      d += length;
-      continue;
-    } else if (tag == 1) {
-      s += 2;
-      if (s > n) return SN_ERR_CORRUPT;
-      length = 4 + ((src[s - 2] >> 2) & 7);
-      offset = ((uint64_t)(src[s - 2] & 0xe0) << 3) | src[s - 1];
-    } else if (tag == 2) {
-      s += 3;
-      if (s > n) return SN_ERR_CORRUPT;
-      length = 1 + (src[s - 3] >> 2);
-      offset = src[s - 2] | ((uint64_t)src[s - 1] << 8);
-    } else {
-      s += 5;
-      if (s > n) return SN_ERR_CORRUPT;
-      length = 1 + (src[s - 5] >> 2);
-      offset = src[s - 4] | ((uint64_t)src[s - 3] << 8) |
-               ((uint64_t)src[s - 2] << 16) | ((uint64_t)src[s - 1] << 24);
-    }
-    if (offset == 0 || d < offset) return SN_ERR_CORRUPT;
-    if (length > dst_len - d) return SN_ERR_CORRUPT;
-    if (!ctx.tag(1, (int64_t)length, (int64_t)offset, (int64_t)d))
-      return SN_ERR_BUFFER;
-    d += length;
-  }
-  if (d != dst_len) return SN_ERR_CORRUPT;
-  if (!ctx.finish()) return SN_ERR_BUFFER;
-  return SN_OK;
+  return walk_stream(src, n, s, dst_len, ctx);
 }
 }  // namespace flatplan
 
@@ -1031,9 +1168,11 @@ int64_t sn_plan_flat_fused(const uint8_t* src, uint64_t n, uint64_t s,
   memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
   memset(pat_out, 0, (size_t)kPatRows * kVec);
 
-  Ctx ctx = make_ctx(src, n, piece_cap, pat_out);
+  Ctx ctx = make_ctx(src, n, piece_cap, pat_out,
+                     (int64_t)kPatRows * kVec);
   int rc = fused_walk(src, n, s, dst_len, ctx);
   if (rc != SN_OK) return rc;
+  zero_slop_tail(pat_out, (int64_t)dst_len, (int64_t)kPatRows * kVec);
   return pack(pieces_buf, rb, trip_cap, meta, starts_out);
 }
 
@@ -1063,9 +1202,12 @@ int64_t sn_stage_flat_dec(const uint8_t* src, uint64_t n, uint64_t s,
   memset(b_row, 0, kVec);  // pad row
   memcpy(b_row + kVec, src, (size_t)n);
 
-  Ctx ctx = make_ctx(src, n, piece_cap, b_row + mirror_base(n));
+  Ctx ctx = make_ctx(src, n, piece_cap, b_row + mirror_base(n),
+                     rb * (int64_t)kVec - mirror_base(n));
   int rc = fused_walk(src, n, s, dst_len, ctx);
   if (rc != SN_OK) return rc;
+  zero_slop_tail(b_row + mirror_base(n), (int64_t)dst_len,
+                 rb * (int64_t)kVec - mirror_base(n));
   return pack(pieces_buf, rb, trip_cap, meta, starts_out);
 }
 
