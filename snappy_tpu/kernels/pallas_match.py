@@ -1,0 +1,230 @@
+"""On-chip match finding: the sort-based candidate search (SURVEY.md
+§7.3.2) as one pallas TPU kernel.
+
+Contract: kernels.match_np.find_candidates — for every position of a
+64 KiB block, the nearest previous and the first occurrence of the same
+4-byte v-word, packed ``near | first << 16`` (0xFFFF = none), in
+position order.  Bit-exact to the numpy contract (tests enforce); the
+measured emission built on these candidates is ~4% SMALLER than the
+reference greedy encoder (match_np docstring).
+
+Formulation (all VPU/ROLL-local, no gathers):
+  1. v-words from the staged word image via phase shifts (4 lane/sublane
+     rolls), stacked phase-major into a [512,128] panel; the element's
+     true block position is iota arithmetic.
+  2. Bitonic sort of (v ^ 1<<31, pos-key) — 136 compare-exchange
+     substages; XOR partners live on a single axis per substage (lane
+     bits 0..6, sublane bits 7..15), so each is two static pltpu.rolls
+     and selects.  Invalid tail positions carry pos-key BIG and sink to
+     their value group's end, where no real position can see them.
+  3. In sorted order: nearest-prev = the flat predecessor when v is
+     equal; first-occurrence = segmented copy-scan of group heads
+     (16 doubling steps of flat shifts).
+  4. A second bitonic sort by true position routes the packed result
+     back to position order.
+
+The whole matcher is data-independent straight-line vector code — one
+compiled program, no per-block control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .match_np import BIG, BMAX, NONE16
+
+VEC = 128
+ROWS_W = BMAX // 4 // VEC      # 128 word-image rows
+ROWS_V = BMAX // VEC           # 512 sorted-panel rows
+LOG_N = 16                     # log2(BMAX)
+
+__all__ = ["find_candidates_device", "stage_words"]
+
+
+def _ile(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _axis_xor(x, j):
+    """partner values x[f ^ (1 << j)] for row-major flat f over
+    [ROWS_V, VEC]; bit j lives in a single axis, so the exchange is two
+    static rolls + a bit-select (wrapped lanes are never selected)."""
+    d = 1 << j
+    if j < 7:
+        up = pltpu.roll(x, shift=VEC - d, axis=1)   # x[.., l + d]
+        dn = pltpu.roll(x, shift=d, axis=1)         # x[.., l - d]
+        bit = (_ile(x.shape, 1) & d) == 0
+    else:
+        ds = d >> 7
+        up = pltpu.roll(x, shift=ROWS_V - ds, axis=0)
+        dn = pltpu.roll(x, shift=ds, axis=0)
+        bit = (_ile(x.shape, 0) & ds) == 0
+    return jnp.where(bit, up, dn)
+
+
+def _bit_of_f(j, shape):
+    """bit j of the row-major flat index f = 128*row + lane (0/1 i32)."""
+    if j >= LOG_N:
+        return jnp.zeros(shape, jnp.int32)
+    if j < 7:
+        return (_ile(shape, 1) >> j) & 1
+    return (_ile(shape, 0) >> (j - 7)) & 1
+
+
+def _bitonic(khi, klo, payloads):
+    """Ascending bitonic sort by (khi, klo); klo values are distinct.
+    payloads move with the keys.  136 substages, fully unrolled."""
+    shape = khi.shape
+    for k in range(LOG_N):
+        for j in range(k, -1, -1):
+            pkhi = _axis_xor(khi, j)
+            pklo = _axis_xor(klo, j)
+            lt = (khi < pkhi) | ((khi == pkhi) & (klo < pklo))
+            take_min = _bit_of_f(k + 1, shape) == _bit_of_f(j, shape)
+            use_partner = take_min ^ lt
+            khi = jnp.where(use_partner, pkhi, khi)
+            klo = jnp.where(use_partner, pklo, klo)
+            payloads = [
+                jnp.where(use_partner, _axis_xor(p, j), p) for p in payloads
+            ]
+    return khi, klo, payloads
+
+
+def _flat_shift(x, d, fill):
+    """y[f] = x[f - d] for row-major flat f (d > 0); f < d gets fill."""
+    dl = d % VEC
+    dr = d // VEC
+    if dl == 0:
+        y = pltpu.roll(x, shift=dr, axis=0)
+    else:
+        a = pltpu.roll(x, shift=dl, axis=1)
+        y = jnp.where(
+            _ile(x.shape, 1) < dl,
+            pltpu.roll(a, shift=dr + 1, axis=0),
+            pltpu.roll(a, shift=dr, axis=0),
+        )
+    f = _ile(x.shape, 0) * VEC + _ile(x.shape, 1)
+    return jnp.where(f >= d, y, fill)
+
+
+def _match_kernel(scal_ref, w_ref, out_ref, *, group):
+    for g in range(group):
+        # the scalar-prefetch ref is the WHOLE array (not grid-blocked)
+        npos = scal_ref[pl.program_id(0) * group + g]
+        w = w_ref[g]
+
+        # flat-next word (word i+1); i = 128*r + l over [128,128]
+        nl = pltpu.roll(w, shift=VEC - 1, axis=1)
+        nxt = jnp.where(_ile(w.shape, 1) == VEC - 1,
+                        pltpu.roll(nl, shift=ROWS_W - 1, axis=0), nl)
+        phases = [w]
+        for k in (1, 2, 3):
+            phases.append(
+                jax.lax.shift_right_logical(w, jnp.int32(8 * k))
+                | (nxt << jnp.int32(32 - 8 * k)))
+        v = jnp.concatenate(phases, axis=0)          # [512,128] phase-major
+
+        # true block position of each element: p = 512*(S&127) + 4*L + (S>>7)
+        S = _ile(v.shape, 0)
+        L = _ile(v.shape, 1)
+        pos = ((S & (ROWS_W - 1)) * (4 * VEC)) + 4 * L + (S >> 7)
+
+        khi = v ^ jnp.int32(-0x80000000)             # unsigned-order bias
+        klo = jnp.where(pos < npos, pos, pos + BIG)  # invalid slots last
+
+        khi, klo, _ = _bitonic(khi, klo, [])
+
+        # nearest previous same-v (the flat predecessor in sorted order);
+        # masks stay i32 0/1 — Mosaic rejects scalar-bool broadcasts
+        # (vector i8 -> i1 truncation)
+        prev_khi = _flat_shift(khi, 1, jnp.int32(0))
+        prev_klo = _flat_shift(klo, 1, jnp.int32(BIG))
+        fidx = S * VEC + L
+        same_prev = jnp.where((prev_khi == khi) & (fidx > 0),
+                              jnp.int32(1), jnp.int32(0))
+        near = jnp.where((same_prev != 0) & (prev_klo < BIG), prev_klo,
+                         jnp.int32(NONE16))
+
+        # first occurrence: segmented copy-scan of group-head positions
+        val = jnp.where(same_prev == 0, klo, jnp.int32(BIG + BMAX))
+        flag = 1 - same_prev  # 1 at group heads
+        for step in range(LOG_N):
+            d = 1 << step
+            pv = _flat_shift(val, d, jnp.int32(BIG + BMAX))
+            pf = _flat_shift(flag, d, jnp.int32(1))
+            val = jnp.where(flag != 0, val, pv)
+            flag = jnp.maximum(flag, pf)
+        first = jnp.where((same_prev != 0) & (val < BIG), val,
+                          jnp.int32(NONE16))
+
+        valid_self = klo < BIG
+        near = jnp.where(valid_self, near, jnp.int32(NONE16))
+        first = jnp.where(valid_self, first, jnp.int32(NONE16))
+        packed = near | (first << 16)
+
+        # route back to position order: key = true position
+        key2 = klo & jnp.int32(BIG - 1)
+        zero = jnp.zeros_like(key2)
+        _, _, pls = _bitonic(key2, zero, [packed])
+        out_ref[g] = pls[0]
+
+
+def _match_kernel_body(scal_ref, w_ref, out_ref, *, group):
+    _match_kernel(scal_ref, w_ref, out_ref, group=group)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "group"))
+def _match_jit(w_i32, npos, interpret: bool, group: int):
+    B = w_i32.shape[0]
+    Bp = (B + group - 1) // group * group
+    if Bp != B:
+        w_i32 = jnp.pad(w_i32, ((0, Bp - B), (0, 0), (0, 0)))
+        npos = jnp.pad(npos, ((0, Bp - B),))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bp // group,),
+        in_specs=[
+            pl.BlockSpec((group, ROWS_W, VEC), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, ROWS_V, VEC), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_match_kernel_body, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, ROWS_V, VEC), jnp.int32),
+        interpret=interpret,
+    )(npos.astype(jnp.int32), w_i32)[:B]
+
+
+def stage_words(blocks: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """(w_i32[B,128,128], npos[B]) host staging for a batch of blocks:
+    each block's bytes zero-padded to 64 KiB and viewed as int32 words."""
+    B = len(blocks)
+    w = np.zeros((B, BMAX), np.uint8)
+    npos = np.zeros(B, np.int32)
+    for i, blk in enumerate(blocks):
+        b = np.frombuffer(bytes(blk), np.uint8)
+        w[i, : len(b)] = b
+        npos[i] = max(len(b) - 3, 0)
+    return w.view(np.int32).reshape(B, ROWS_W, VEC), npos
+
+
+def find_candidates_device(blocks: list[bytes], *,
+                           interpret: bool | None = None,
+                           group: int = 1) -> np.ndarray:
+    """int32[B, BMAX] packed candidates (match_np.find_candidates
+    contract) for a batch of blocks, computed on device."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    w_i32, npos = stage_words(blocks)
+    out = _match_jit(jnp.asarray(w_i32), jnp.asarray(npos),
+                     interpret=interpret, group=group)
+    return np.asarray(out).reshape(len(blocks), BMAX)

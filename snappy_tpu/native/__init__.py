@@ -181,6 +181,8 @@ def _load():
         lib.sn_decompress_framed.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
         ]
+        lib.sn_emit_from_cands.restype = ctypes.c_int64
+        lib.sn_emit_from_cands.argtypes = [u8p, ctypes.c_uint64, i32p, u8p]
         _lib = lib
         return _lib
 
@@ -222,6 +224,26 @@ def compress(data: bytes) -> bytes:
     rc = lib.sn_compress(_as_u8p(src), len(data), _as_u8p(dst))
     if rc < 0:
         _raise(rc)
+    return dst[:rc].tobytes()
+
+
+def emit_from_cands(block: bytes | np.ndarray, packed: np.ndarray) -> bytes:
+    """Block-body emission from device-found match candidates (see
+    sn_emit_from_cands): exact extension (cap 64) of the packed
+    near/first pairs, greedy+lazy parses, prune, copy-start alignment,
+    smaller emission wins — byte-exact to
+    kernels.match_np.encode_block_sortmatch (tests enforce)."""
+    lib = _load()
+    n = len(block)
+    src = _to_arr(bytes(block)) if isinstance(block, (bytes, bytearray)) else block
+    assert packed.dtype == np.int32 and packed.flags.c_contiguous
+    assert packed.shape[0] >= n
+    dst = np.empty(int(lib.sn_max_compressed_length(n)) + 8, np.uint8)
+    rc = lib.sn_emit_from_cands(
+        _as_u8p(src), n,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _as_u8p(dst))
+    if rc < 0:
+        _raise(int(rc))
     return dst[:rc].tobytes()
 
 

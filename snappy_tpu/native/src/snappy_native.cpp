@@ -1358,4 +1358,246 @@ int64_t sn_stage_flat_enc(const uint8_t* block, uint64_t len, int64_t rb,
   return r;
 }
 
+// ---------------------------------------------------------------------
+// Emission from device-found candidates (the host half of the
+// device-match encode engine, SURVEY.md §7.3.2).  The device matcher
+// (kernels/pallas_match.py) delivers, per block position, the nearest
+// previous and the first occurrence of the same 4-byte word, packed
+// near | first << 16 (0xFFFF = none).  This walk extends both to exact
+// byte lengths (cap 64), parses greedy AND lazy, prunes, aligns copy
+// starts, and emits the smaller — BYTE-EXACT to the numpy contract
+// kernels/match_np.encode_block_sortmatch (tests enforce).
+
+namespace devmatch {
+
+struct El {  // kind 0 = literal(start, len), 1 = copy(offset, len)
+  int32_t kind, a, b;
+};
+
+static inline int64_t lit_cost(int64_t r) {
+  if (r == 0) return 0;
+  int64_t n = r - 1;
+  return r + (n < 60 ? 1 : n < 256 ? 2 : n < 65536 ? 3 : 4);
+}
+
+static inline int64_t copy_cost(int64_t offset, int64_t length) {
+  int64_t c = 0;
+  while (length >= 68) {
+    c += 3;
+    length -= 64;
+  }
+  if (length > 64) {
+    c += 3;
+    length -= 60;
+  }
+  return c + ((length >= 12 || offset >= 2048) ? 3 : 2);
+}
+
+// exact match length between p and c (c < p), capped at min(64, n - p)
+static inline int64_t extend(const uint8_t* b, uint64_t n, int64_t p,
+                             int64_t c) {
+  int64_t cap = (int64_t)n - p;
+  if (cap > 64) cap = 64;
+  int64_t m = 0;
+  while (m + 8 <= cap) {
+    uint64_t x = load64(b + p + m) ^ load64(b + c + m);
+    if (x) return m + (__builtin_ctzll(x) >> 3);
+    m += 8;
+  }
+  while (m < cap && b[p + m] == b[c + m]) m++;
+  return m;
+}
+
+// best candidate at p: longer match wins, ties to the larger (nearer)
+// candidate; lengths < 4 are no match (match_np.best_matches contract)
+static inline void best_at(const uint8_t* b, uint64_t n,
+                           const int32_t* packed, int64_t p, int64_t* cand,
+                           int64_t* ml) {
+  uint32_t w = (uint32_t)packed[p];
+  int64_t near = w & 0xFFFF, first = w >> 16;
+  int64_t bc = -1, bl = 0;
+  if (near != 0xFFFF && near < p) {
+    int64_t l = extend(b, n, p, near);
+    if (l >= 4) {
+      bc = near;
+      bl = l;
+    }
+  }
+  if (first != 0xFFFF && first < p && first != near) {
+    int64_t l = extend(b, n, p, first);
+    if (l >= 4 && (l > bl || (l == bl && first > bc))) {
+      bc = first;
+      bl = l;
+    }
+  }
+  *cand = bc;
+  *ml = bl;
+}
+
+// lazily-memoized best_at: ml 255 = not yet evaluated (real ml <= 64)
+static inline int64_t ml_at(const uint8_t* b, uint64_t n,
+                            const int32_t* packed, int64_t p, int32_t* cand,
+                            uint8_t* ml) {
+  if (ml[p] == 255) {
+    int64_t c, l;
+    best_at(b, n, packed, p, &c, &l);
+    cand[p] = (int32_t)c;
+    ml[p] = (uint8_t)l;
+  }
+  return ml[p];
+}
+
+static void parse(const uint8_t* b, uint64_t n, const int32_t* packed,
+                  int32_t* cand, uint8_t* ml, bool lazy,
+                  std::vector<El>& elems) {
+  elems.clear();
+  int64_t next_emit = 0, p = 1;
+  while (p < (int64_t)n) {
+    int64_t l = ml_at(b, n, packed, p, cand, ml);
+    if (l >= 4) {
+      if (lazy && p + 1 < (int64_t)n &&
+          ml_at(b, n, packed, p + 1, cand, ml) > l + 1) {
+        p += 1;
+        continue;
+      }
+      if (p > next_emit)
+        elems.push_back({0, (int32_t)next_emit, (int32_t)(p - next_emit)});
+      elems.push_back({1, (int32_t)(p - cand[p]), (int32_t)l});
+      p += l;
+      next_emit = p;
+    } else {
+      p += 1;
+    }
+  }
+  if (next_emit < (int64_t)n)
+    elems.push_back({0, (int32_t)next_emit, (int32_t)(n - next_emit)});
+}
+
+// simultaneous-drop prune, two passes (encode_np._prune semantics)
+static void prune(std::vector<El>& elems, std::vector<El>& scratch,
+                  std::vector<uint8_t>& elig) {
+  for (int pass = 0; pass < 2; pass++) {
+    size_t ne = elems.size();
+    elig.assign(ne, 0);
+    bool any = false;
+    for (size_t i = 0; i < ne; i++) {
+      const El& e = elems[i];
+      if (e.kind != 1) continue;
+      bool prev_copy = i > 0 && elems[i - 1].kind == 1;
+      bool next_copy = i + 1 < ne && elems[i + 1].kind == 1;
+      if (prev_copy || next_copy) continue;
+      int64_t a = i > 0 ? elems[i - 1].b : 0;
+      int64_t bb = i + 1 < ne ? elems[i + 1].b : 0;
+      if (lit_cost(a + e.b + bb) <=
+          lit_cost(a) + copy_cost(e.a, e.b) + lit_cost(bb)) {
+        elig[i] = 1;
+        any = true;
+      }
+    }
+    if (!any) break;
+    scratch.clear();
+    int64_t pos = 0;
+    for (size_t i = 0; i < ne; i++) {
+      const El& e = elems[i];
+      if (e.kind == 1 && !elig[i]) {
+        scratch.push_back(e);
+        pos += e.b;
+        continue;
+      }
+      int32_t start = e.kind == 0 ? e.a : (int32_t)pos;
+      int32_t length = e.b;
+      if (!scratch.empty() && scratch.back().kind == 0)
+        scratch.back().b += length;
+      else
+        scratch.push_back({0, start, length});
+      pos += length;
+    }
+    elems.swap(scratch);
+  }
+}
+
+// copy-start alignment (encode_np._shift_starts semantics).  Unused by
+// sn_emit_from_cands (identity under ML_CAP=64, see above) — kept for
+// any future cap change.
+__attribute__((unused))
+static void shift_starts(std::vector<El>& elems, std::vector<El>& out) {
+  out.clear();
+  int64_t pos = 0;
+  for (const El& e : elems) {
+    if (e.kind != 1) {
+      out.push_back(e);
+      pos += e.b;
+      continue;
+    }
+    int64_t off = e.a, ln = e.b;
+    bool have_prev = !out.empty() && out.back().kind == 0;
+    int64_t a = have_prev ? out.back().b : 0;
+    int64_t best_d = 0, best_cost = lit_cost(a) + copy_cost(off, ln);
+    for (int64_t d = 1; d <= 3; d++) {
+      if (ln - d < 4) break;
+      int64_t cost = lit_cost(a + d) + copy_cost(off, ln - d);
+      if (cost < best_cost) {
+        best_d = d;
+        best_cost = cost;
+      }
+    }
+    if (best_d) {
+      if (have_prev)
+        out.back().b += (int32_t)best_d;
+      else
+        out.push_back({0, (int32_t)pos, (int32_t)best_d});
+      out.push_back({1, (int32_t)off, (int32_t)(ln - best_d)});
+    } else {
+      out.push_back(e);
+    }
+    pos += ln;
+  }
+}
+
+__attribute__((unused))
+static inline int64_t total_size(const std::vector<El>& elems) {
+  int64_t sz = 0;
+  for (auto& e : elems)
+    sz += e.kind ? copy_cost(e.a, e.b) : lit_cost(e.b);
+  return sz;
+}
+
+}  // namespace devmatch
+
+// Emit one block body (no preamble) from device-found candidates.
+// packed: int32[>= n] (pallas_match output, position order).
+// Returns bytes written to dst (capacity sn_max_compressed_length(n)),
+// never fails on valid candidate images.
+int64_t sn_emit_from_cands(const uint8_t* block, uint64_t n,
+                           const int32_t* packed, uint8_t* dst) {
+  using namespace devmatch;
+  if (n == 0) return 0;
+  if (n < 4) return (int64_t)(emit_literal(dst, block, (int)n) - dst);
+  static thread_local std::vector<El> eg, scratch;
+  static thread_local std::vector<uint8_t> elig, ml_buf;
+  static thread_local std::vector<int32_t> cand_buf;
+  if (ml_buf.size() < n) {
+    ml_buf.resize(n);
+    cand_buf.resize(n);
+  }
+  // 255 = "not evaluated"; positions resolve lazily as the parse
+  // visits them (best_at is pure).  Greedy parse + prune only: the
+  // contract's _shift_starts pass is an identity under ML_CAP=64 (no
+  // copy reaches the 65..67 chop window; any start shift costs at
+  // least the one tag byte it could save) — the np parity tests keep
+  // that argument honest.
+  memset(ml_buf.data(), 255, n);
+  parse(block, n, packed, cand_buf.data(), ml_buf.data(), false, eg);
+  prune(eg, scratch, elig);
+  const std::vector<El>& best = eg;
+  uint8_t* d = dst;
+  for (const El& e : best) {
+    if (e.kind == 0)
+      d = emit_literal(d, block + e.a, e.b);
+    else
+      d = emit_copy(d, e.a, e.b);
+  }
+  return (int64_t)(d - dst);
+}
+
 }  // extern "C"
