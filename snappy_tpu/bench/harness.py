@@ -445,6 +445,61 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             flat_enc_times = []
             print(f"[bench] flat-enc phase failed: {e!r}"[:300])
 
+    # device-match engine: the chip runs the candidate SEARCH (sort-
+    # based collision-free near+first, kernels/pallas_match); the host
+    # half (exact extension + parse + emission, sn_emit_from_cands) is
+    # timed separately.  32-block dispatches match the measurement
+    # tool's executable so the persistent compile cache hits.
+    match_times: list = []
+    match_total = 0
+    match_emit_gbs = None
+    if jax.default_backend() == "tpu" and os.environ.get(
+        "SNAPPY_TPU_BENCH_DEVMATCH", "1"
+    ) != "0" and native.available():
+        try:
+            from snappy_tpu.kernels import pallas_match
+
+            MB_ = 32
+            m_blocks = [
+                data[i * BMAX:(i + 1) * BMAX]
+                for i in range(min(len(data) // BMAX, MB_ * 2))
+            ]
+            m_args = []
+            for s0 in range(0, len(m_blocks) - MB_ + 1, MB_):
+                w_i32, npos_arr = pallas_match.stage_words(
+                    m_blocks[s0:s0 + MB_])
+                m_args.append((jax.device_put(jnp.asarray(w_i32)),
+                               jax.device_put(jnp.asarray(npos_arr))))
+            match_total = len(m_args) * MB_ * BMAX
+
+            def run_match():
+                outs = [
+                    pallas_match._match_jit(w, np_, interpret=False, group=1)
+                    for w, np_ in m_args
+                ]
+                return [o[:, :1, :1] for o in outs]
+
+            np.asarray(run_match()[0])  # warmup (compile + first exec)
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                heads = run_match()
+                for h in heads:
+                    np.asarray(h)  # force completion
+                match_times.append(time.perf_counter() - t0)
+            # host half once: fetch candidates, emit on this process's
+            # pool-of-one (per-core rate; the runtime engine pools it)
+            w0, n0 = m_args[0]
+            packed = np.ascontiguousarray(np.asarray(
+                pallas_match._match_jit(w0, n0, interpret=False, group=1)
+            ).reshape(MB_, -1))
+            t0 = time.perf_counter()
+            for i in range(MB_):
+                native.emit_from_cands(m_blocks[i], packed[i])
+            match_emit_gbs = MB_ * BMAX / 1e9 / (time.perf_counter() - t0)
+        except Exception as e:  # pragma: no cover - keep the bench alive
+            match_times = []
+            print(f"[bench] devmatch phase failed: {e!r}"[:300])
+
     out = {
         "device_decompress_gbs": round(total / 1e9 / min(dec_times), 4),
         "device_compress_gbs": round(total / 1e9 / min(enc_times), 4),
@@ -495,6 +550,15 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         out["device_compress_gbs"] = max(
             out["device_compress_gbs"], out["device_compress_flat_gbs"]
         )
+    if match_times:
+        # NOT folded into device_compress_gbs: this timed region is the
+        # on-chip match SEARCH alone (the genuine device-compression
+        # claim); emission runs on the host at device_match_emit_gbs
+        # per core (runtime engine: SNAPPY_TPU_DEVMATCH=1)
+        out["device_match_gbs"] = round(
+            match_total / 1e9 / min(match_times), 4)
+        if match_emit_gbs is not None:
+            out["device_match_emit_gbs"] = round(match_emit_gbs, 4)
     return out
 
 

@@ -40,8 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .match_np import BIG, BMAX, NONE16
 
 VEC = 128
-ROWS_W = BMAX // 4 // VEC      # 128 word-image rows
-ROWS_V = BMAX // VEC           # 512 sorted-panel rows
 LOG_N = 16                     # log2(BMAX)
 
 __all__ = ["find_candidates_device", "stage_words"]
@@ -51,47 +49,58 @@ def _ile(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-def _axis_xor(x, j):
+def _axis_xor(x, j, bit0):
     """partner values x[f ^ (1 << j)] for row-major flat f over
-    [ROWS_V, VEC]; bit j lives in a single axis, so the exchange is two
-    static rolls + a bit-select (wrapped lanes are never selected)."""
+    [rows, VEC]; bit j lives in a single axis, so the exchange is two
+    static rolls + a bit-select on the hoisted mask (wrapped lanes are
+    never selected)."""
     d = 1 << j
     if j < 7:
         up = pltpu.roll(x, shift=VEC - d, axis=1)   # x[.., l + d]
         dn = pltpu.roll(x, shift=d, axis=1)         # x[.., l - d]
-        bit = (_ile(x.shape, 1) & d) == 0
     else:
         ds = d >> 7
-        up = pltpu.roll(x, shift=ROWS_V - ds, axis=0)
+        up = pltpu.roll(x, shift=x.shape[0] - ds, axis=0)
         dn = pltpu.roll(x, shift=ds, axis=0)
-        bit = (_ile(x.shape, 0) & ds) == 0
-    return jnp.where(bit, up, dn)
+    return jnp.where(bit0, up, dn)
 
 
-def _bit_of_f(j, shape):
-    """bit j of the row-major flat index f = 128*row + lane (0/1 i32)."""
-    if j >= LOG_N:
-        return jnp.zeros(shape, jnp.int32)
-    if j < 7:
-        return (_ile(shape, 1) >> j) & 1
-    return (_ile(shape, 0) >> (j - 7)) & 1
+def _hoist_bits(shape, log_n):
+    """bit j of the row-major flat index f, computed once per kernel:
+    bits[j] is the i32 0/1 plane, bits0[j] the (bit == 0) mask."""
+    bits = []
+    for j in range(log_n + 1):
+        if j >= log_n:
+            bits.append(jnp.zeros(shape, jnp.int32))
+        elif j < 7:
+            bits.append((_ile(shape, 1) >> j) & 1)
+        else:
+            bits.append((_ile(shape, 0) >> (j - 7)) & 1)
+    bits0 = [b == 0 for b in bits]
+    return bits, bits0
 
 
-def _bitonic(khi, klo, payloads):
+def _bitonic(khi, klo, payloads, hoisted=None):
     """Ascending bitonic sort by (khi, klo); klo values are distinct.
-    payloads move with the keys.  136 substages, fully unrolled."""
+    payloads move with the keys.  log2(n)*(log2(n)+1)/2 compare-exchange
+    substages, fully unrolled; per-substage masks come from the hoisted
+    bit planes (one compare each)."""
     shape = khi.shape
-    for k in range(LOG_N):
+    log_n = (shape[0] * VEC).bit_length() - 1
+    bits, bits0 = hoisted if hoisted is not None else _hoist_bits(
+        shape, log_n)
+    for k in range(log_n):
         for j in range(k, -1, -1):
-            pkhi = _axis_xor(khi, j)
-            pklo = _axis_xor(klo, j)
+            pkhi = _axis_xor(khi, j, bits0[j])
+            pklo = _axis_xor(klo, j, bits0[j])
             lt = (khi < pkhi) | ((khi == pkhi) & (klo < pklo))
-            take_min = _bit_of_f(k + 1, shape) == _bit_of_f(j, shape)
+            take_min = bits[k + 1] == bits[j]
             use_partner = take_min ^ lt
             khi = jnp.where(use_partner, pkhi, khi)
             klo = jnp.where(use_partner, pklo, klo)
             payloads = [
-                jnp.where(use_partner, _axis_xor(p, j), p) for p in payloads
+                jnp.where(use_partner, _axis_xor(p, j, bits0[j]), p)
+                for p in payloads
             ]
     return khi, klo, payloads
 
@@ -113,32 +122,36 @@ def _flat_shift(x, d, fill):
     return jnp.where(f >= d, y, fill)
 
 
-def _match_kernel(scal_ref, w_ref, out_ref, *, group):
+def _match_kernel(scal_ref, w_ref, out_ref, *, group, slots):
+    rows_w = slots // (4 * VEC)   # word-image rows
+    log_n = slots.bit_length() - 1
+    log_rw = rows_w.bit_length() - 1
     for g in range(group):
         # the scalar-prefetch ref is the WHOLE array (not grid-blocked)
         npos = scal_ref[pl.program_id(0) * group + g]
         w = w_ref[g]
 
-        # flat-next word (word i+1); i = 128*r + l over [128,128]
+        # flat-next word (word i+1); i = 128*r + l over [rows_w,128]
         nl = pltpu.roll(w, shift=VEC - 1, axis=1)
         nxt = jnp.where(_ile(w.shape, 1) == VEC - 1,
-                        pltpu.roll(nl, shift=ROWS_W - 1, axis=0), nl)
+                        pltpu.roll(nl, shift=rows_w - 1, axis=0), nl)
         phases = [w]
         for k in (1, 2, 3):
             phases.append(
                 jax.lax.shift_right_logical(w, jnp.int32(8 * k))
                 | (nxt << jnp.int32(32 - 8 * k)))
-        v = jnp.concatenate(phases, axis=0)          # [512,128] phase-major
+        v = jnp.concatenate(phases, axis=0)          # phase-major panel
 
-        # true block position of each element: p = 512*(S&127) + 4*L + (S>>7)
+        # true block position: p = 4*(rows_w*... word idx) + phase
         S = _ile(v.shape, 0)
         L = _ile(v.shape, 1)
-        pos = ((S & (ROWS_W - 1)) * (4 * VEC)) + 4 * L + (S >> 7)
+        pos = ((S & (rows_w - 1)) * (4 * VEC)) + 4 * L + (S >> log_rw)
 
         khi = v ^ jnp.int32(-0x80000000)             # unsigned-order bias
         klo = jnp.where(pos < npos, pos, pos + BIG)  # invalid slots last
 
-        khi, klo, _ = _bitonic(khi, klo, [])
+        hoisted = _hoist_bits(v.shape, log_n)
+        khi, klo, _ = _bitonic(khi, klo, [], hoisted)
 
         # nearest previous same-v (the flat predecessor in sorted order);
         # masks stay i32 0/1 — Mosaic rejects scalar-bool broadcasts
@@ -154,7 +167,7 @@ def _match_kernel(scal_ref, w_ref, out_ref, *, group):
         # first occurrence: segmented copy-scan of group-head positions
         val = jnp.where(same_prev == 0, klo, jnp.int32(BIG + BMAX))
         flag = 1 - same_prev  # 1 at group heads
-        for step in range(LOG_N):
+        for step in range(log_n):
             d = 1 << step
             pv = _flat_shift(val, d, jnp.int32(BIG + BMAX))
             pf = _flat_shift(flag, d, jnp.int32(1))
@@ -171,17 +184,19 @@ def _match_kernel(scal_ref, w_ref, out_ref, *, group):
         # route back to position order: key = true position
         key2 = klo & jnp.int32(BIG - 1)
         zero = jnp.zeros_like(key2)
-        _, _, pls = _bitonic(key2, zero, [packed])
+        _, _, pls = _bitonic(key2, zero, [packed], hoisted)
         out_ref[g] = pls[0]
 
 
-def _match_kernel_body(scal_ref, w_ref, out_ref, *, group):
-    _match_kernel(scal_ref, w_ref, out_ref, group=group)
+def _match_kernel_body(scal_ref, w_ref, out_ref, *, group, slots):
+    _match_kernel(scal_ref, w_ref, out_ref, group=group, slots=slots)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "group"))
 def _match_jit(w_i32, npos, interpret: bool, group: int):
-    B = w_i32.shape[0]
+    B, rows_w, _ = w_i32.shape
+    slots = rows_w * 4 * VEC
+    rows_v = slots // VEC
     Bp = (B + group - 1) // group * group
     if Bp != B:
         w_i32 = jnp.pad(w_i32, ((0, Bp - B), (0, 0), (0, 0)))
@@ -190,41 +205,46 @@ def _match_jit(w_i32, npos, interpret: bool, group: int):
         num_scalar_prefetch=1,
         grid=(Bp // group,),
         in_specs=[
-            pl.BlockSpec((group, ROWS_W, VEC), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((group, rows_w, VEC), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((group, ROWS_V, VEC), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((group, rows_v, VEC), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_match_kernel_body, group=group),
+        functools.partial(_match_kernel_body, group=group, slots=slots),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bp, ROWS_V, VEC), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bp, rows_v, VEC), jnp.int32),
         interpret=interpret,
     )(npos.astype(jnp.int32), w_i32)[:B]
 
 
-def stage_words(blocks: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
-    """(w_i32[B,128,128], npos[B]) host staging for a batch of blocks:
-    each block's bytes zero-padded to 64 KiB and viewed as int32 words."""
+def stage_words(blocks: list[bytes],
+                slots: int = BMAX) -> tuple[np.ndarray, np.ndarray]:
+    """(w_i32[B,slots/512,128], npos[B]) host staging for a batch:
+    each block's bytes zero-padded to ``slots`` and viewed as int32
+    words.  slots: power of two >= 4096 (>= every block length);
+    smaller sorts for tests, BMAX in production."""
     B = len(blocks)
-    w = np.zeros((B, BMAX), np.uint8)
+    assert slots >= 4096 and slots & (slots - 1) == 0
+    w = np.zeros((B, slots), np.uint8)
     npos = np.zeros(B, np.int32)
     for i, blk in enumerate(blocks):
         b = np.frombuffer(bytes(blk), np.uint8)
+        assert len(b) <= slots
         w[i, : len(b)] = b
         npos[i] = max(len(b) - 3, 0)
-    return w.view(np.int32).reshape(B, ROWS_W, VEC), npos
+    return w.view(np.int32).reshape(B, slots // 512, VEC), npos
 
 
 def find_candidates_device(blocks: list[bytes], *,
                            interpret: bool | None = None,
-                           group: int = 1) -> np.ndarray:
-    """int32[B, BMAX] packed candidates (match_np.find_candidates
+                           group: int = 1, slots: int = BMAX) -> np.ndarray:
+    """int32[B, slots] packed candidates (match_np.find_candidates
     contract) for a batch of blocks, computed on device."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    w_i32, npos = stage_words(blocks)
+    w_i32, npos = stage_words(blocks, slots)
     out = _match_jit(jnp.asarray(w_i32), jnp.asarray(npos),
                      interpret=interpret, group=group)
-    return np.asarray(out).reshape(len(blocks), BMAX)
+    return np.asarray(out).reshape(len(blocks), slots)

@@ -137,6 +137,18 @@ def _pallas_enabled() -> bool:
 # (docs/performance.md).  Off → hybrid host-parse path.
 FLAT = os.environ.get("SNAPPY_TPU_FLAT", "1") != "0"
 
+# Device-match encode engine (kernels/pallas_match + sn_emit_from_cands):
+# the CHIP finds the match candidates (sort-based, collision-free); the
+# host extends lengths and emits.  Opt-in — its on-chip search is the
+# genuine-device-compression claim, but the flat engine's host-matcher
+# replay is faster end to end (docs/performance.md roofline).  With the
+# guard on (default), every block's emission is compared against the
+# reference encoder and the smaller wins, making the per-input ratio
+# bound structural (aggregate, the device candidates are ~4% SMALLER;
+# the guard exists for the ~1-in-7 blocks a few bytes over).
+DEVMATCH = os.environ.get("SNAPPY_TPU_DEVMATCH", "0") == "1"
+DEVMATCH_GUARD = os.environ.get("SNAPPY_TPU_DEVMATCH_GUARD", "1") != "0"
+
 # Host planning pool: per-row plans are independent and the native
 # calls release the GIL; 4 workers roughly match the planner's
 # single-thread rate to the device kernel's.
@@ -253,6 +265,8 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
     # emission is replayed on device byte-for-byte, so the ratio bound
     # is structural and RATIO_GUARD's duplicate host encode is free)
     use_flat_enc = FLAT and _pallas_enabled() and _native.available()
+    # device-match engine (opt-in): the chip runs the candidate search
+    use_devmatch = DEVMATCH and _native.available()
     handles = []
     counts = []
     lens_all = []
@@ -268,7 +282,17 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             chunk = data[off : off + chunk_size]
             arr[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
             lens[i] = len(chunk)
-        if use_flat_enc:
+        if use_devmatch:
+            from snappy_tpu.kernels import pallas_match
+
+            slots = max(4096, bmax)
+            blocks = [arr[i, : lens[i]].tobytes() for i in range(BATCH)]
+            w_i32, npos_arr = pallas_match.stage_words(blocks, slots)
+            packed = pallas_match._match_jit(
+                jnp.asarray(w_i32), jnp.asarray(npos_arr),
+                interpret=not _pallas_enabled(), group=1)
+            handles.append(("devmatch", (packed, None, None)))
+        elif use_flat_enc:
             from snappy_tpu.kernels.encode_flat import (
                 ENC_TRIP_CAP,
                 RB_ENC,
@@ -322,14 +346,35 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
         counts.append(cnt)
         lens_all.append(lens)
     # overlap the (slow) D2H fetches: start async copies of the small
-    # outputs for every batch before consuming any
-    for _, (comp, clen, ok) in handles:
-        for h in (clen, ok):
+    # outputs for every batch before consuming any (devmatch fetches
+    # its whole candidate image — still 4x smaller than re-upload)
+    for engine, (comp, clen, ok) in handles:
+        targets = (comp, clen, ok) if engine == "devmatch" else (clen, ok)
+        for h in targets:
             if hasattr(h, "copy_to_host_async"):
                 h.copy_to_host_async()
     for bi, (engine, (comp, clen, ok)) in enumerate(handles):
         base = bi * BATCH
         cnt = counts[bi]
+        if engine == "devmatch":
+            # fetch the packed candidate image, emit on the host pool;
+            # the guard makes the per-input ratio bound structural
+            packed_h = np.ascontiguousarray(
+                np.asarray(comp)[:cnt].reshape(cnt, -1))
+
+            def _emit_row(i, _base=base, _packed=packed_h):
+                off = (_base + i) * chunk_size
+                blk = bytes(data[off : off + chunk_size])
+                body = _native.emit_from_cands(blk, _packed[i])
+                if DEVMATCH_GUARD:
+                    ref = _oracle_block(blk)
+                    if len(ref) < len(body):
+                        body = ref
+                return i, blk, body
+
+            for i, blk, body in _plan_pool().map(_emit_row, range(cnt)):
+                yield base + i, len(blk), body
+            continue
         clen_h = np.asarray(clen)[:cnt]
         ok_h = np.asarray(ok)[:cnt] if ok is not None else np.ones(cnt, bool)
         kmax = int(clen_h.max()) if clen_h.size else 0
