@@ -474,7 +474,8 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
 
             def run_match():
                 outs = [
-                    pallas_match._match_jit(w, np_, interpret=False, group=1)
+                    pallas_match._match_jit(w, np_, interpret=False,
+                                            group=1, home=False)
                     for w, np_ in m_args
                 ]
                 return [o[:, :1, :1] for o in outs]
@@ -486,13 +487,13 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
                 for h in heads:
                     np.asarray(h)  # force completion
                 match_times.append(time.perf_counter() - t0)
-            # host half once: fetch candidates, emit on this process's
-            # pool-of-one (per-core rate; the runtime engine pools it)
+            # host half once, per-core rate (the runtime engine pools
+            # it): scatter-home + candidate-driven emission
             w0, n0 = m_args[0]
-            packed = np.ascontiguousarray(np.asarray(
-                pallas_match._match_jit(w0, n0, interpret=False, group=1)
-            ).reshape(MB_, -1))
+            pairs = np.asarray(pallas_match._match_jit(
+                w0, n0, interpret=False, group=1, home=False))
             t0 = time.perf_counter()
+            packed = pallas_match.scatter_home(pairs)
             for i in range(MB_):
                 native.emit_from_cands(m_blocks[i], packed[i])
             match_emit_gbs = MB_ * BMAX / 1e9 / (time.perf_counter() - t0)

@@ -288,10 +288,13 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             slots = max(4096, bmax)
             blocks = [arr[i, : lens[i]].tobytes() for i in range(BATCH)]
             w_i32, npos_arr = pallas_match.stage_words(blocks, slots)
-            packed = pallas_match._match_jit(
+            # home=False: the kernel skips its second sort (~1.8x) and
+            # ships sorted (position, packed) pairs; scatter_home on
+            # fetch is one vectorized np write per block
+            pairs = pallas_match._match_jit(
                 jnp.asarray(w_i32), jnp.asarray(npos_arr),
-                interpret=not _pallas_enabled(), group=1)
-            handles.append(("devmatch", (packed, None, None)))
+                interpret=not _pallas_enabled(), group=1, home=False)
+            handles.append(("devmatch", (pairs, None, None)))
         elif use_flat_enc:
             from snappy_tpu.kernels.encode_flat import (
                 ENC_TRIP_CAP,
@@ -357,10 +360,12 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
         base = bi * BATCH
         cnt = counts[bi]
         if engine == "devmatch":
-            # fetch the packed candidate image, emit on the host pool;
+            # fetch sorted pairs, scatter home, emit on the host pool;
             # the guard makes the per-input ratio bound structural
+            from snappy_tpu.kernels import pallas_match
+
             packed_h = np.ascontiguousarray(
-                np.asarray(comp)[:cnt].reshape(cnt, -1))
+                pallas_match.scatter_home(np.asarray(comp)[:cnt]))
 
             def _emit_row(i, _base=base, _packed=packed_h):
                 off = (_base + i) * chunk_size

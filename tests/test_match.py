@@ -162,3 +162,14 @@ def test_kernel_parity_batch_groups():
     for i, blk in enumerate(blocks):
         ref = match_np.find_candidates(blk).astype(np.int32)
         assert (got[i] == ref).all(), i
+
+
+def test_kernel_host_scatter_route():
+    """home=False (sorted pairs + host scatter) matches the contract."""
+    rng = _rng()
+    blocks = [(b"scatter route " * 300)[:4000], rng.bytes(4096)]
+    got = pallas_match.find_candidates_device(blocks, interpret=True,
+                                              slots=4096, home=False)
+    for i, blk in enumerate(blocks):
+        ref = match_np.find_candidates(blk).astype(np.int32)[:4096]
+        assert (got[i] == ref).all(), i

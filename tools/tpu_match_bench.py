@@ -28,6 +28,7 @@ hostmem.tune_allocator()
 NB = int(os.environ.get("MATCH_BLOCKS", "32"))
 REPS = int(os.environ.get("MATCH_REPEATS", "4"))
 GROUP = int(os.environ.get("MATCH_GROUP", "1"))
+HOME = os.environ.get("MATCH_HOME", "1") != "0"
 
 data = b"".join(d for _, d in make_corpus(max(NB, 4) << 16, seed=13))
 blocks = [data[i << 16:(i + 1) << 16] for i in range(NB)]
@@ -38,12 +39,16 @@ w_dev = jax.device_put(jnp.asarray(w_i32))
 np_dev = jax.device_put(jnp.asarray(npos))
 
 t0 = time.perf_counter()
-out = pallas_match._match_jit(w_dev, np_dev, interpret=False, group=GROUP)
+out = pallas_match._match_jit(w_dev, np_dev, interpret=False, group=GROUP,
+                              home=HOME)
 first = np.asarray(out[0, 0, :1])  # force completion through the relay
-print(f"compile+first run: {time.perf_counter()-t0:.1f}s", flush=True)
+print(f"compile+first run: {time.perf_counter()-t0:.1f}s (home={HOME})",
+      flush=True)
 
 # bit-exactness vs the np contract on 4 blocks
-host = np.asarray(out).reshape(NB, match_np.BMAX)
+host_raw = np.asarray(out)
+host = (host_raw.reshape(NB, match_np.BMAX) if HOME
+        else pallas_match.scatter_home(host_raw))
 bad = 0
 for i in range(min(4, NB)):
     ref = match_np.find_candidates(blocks[i]).astype(np.int32)
@@ -55,7 +60,8 @@ print("exactness:", "OK" if bad == 0 else "FAIL", flush=True)
 best = 1e18
 for rep in range(REPS):
     t0 = time.perf_counter()
-    out = pallas_match._match_jit(w_dev, np_dev, interpret=False, group=GROUP)
+    out = pallas_match._match_jit(w_dev, np_dev, interpret=False,
+                                  group=GROUP, home=HOME)
     _ = np.asarray(out[0, 0, :1])  # forced sync
     dt = time.perf_counter() - t0
     best = min(best, dt)
