@@ -462,7 +462,7 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             MB_ = 32
             m_blocks = [
                 data[i * BMAX:(i + 1) * BMAX]
-                for i in range(min(len(data) // BMAX, MB_ * 2))
+                for i in range(min(len(data) // BMAX, MB_ * 8))
             ]
             m_args = []
             for s0 in range(0, len(m_blocks) - MB_ + 1, MB_):
@@ -473,19 +473,22 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             match_total = len(m_args) * MB_ * BMAX
 
             def run_match():
+                # all dispatches pipeline through the relay; ONE
+                # combined scalar fetch is the completion barrier
+                # (the per-call sync floor must amortize over the
+                # whole resident set — CLAUDE.md measurement gotcha)
                 outs = [
                     pallas_match._match_jit(w, np_, interpret=False,
                                             group=1, home=False)
                     for w, np_ in m_args
                 ]
-                return [o[:, :1, :1] for o in outs]
+                return int(np.asarray(combine(
+                    *[o[:, :1, :1].astype(jnp.int32) for o in outs])))
 
-            np.asarray(run_match()[0])  # warmup (compile + first exec)
+            run_match()  # warmup (compile + first exec)
             for _ in range(repeats):
                 t0 = time.perf_counter()
-                heads = run_match()
-                for h in heads:
-                    np.asarray(h)  # force completion
+                run_match()
                 match_times.append(time.perf_counter() - t0)
             # host half once, per-core rate (the runtime engine pools
             # it): scatter-home + candidate-driven emission
@@ -596,9 +599,6 @@ def _system_path_bench(data: bytes, repeats: int,
     elision is sound on a healthy host (at ~2 B/out-byte, any >=4
     GB/s DMA keeps transfer off the critical path).
     """
-    import threading
-    from concurrent.futures import ThreadPoolExecutor
-
     import jax
     import jax.numpy as jnp
 
@@ -661,16 +661,31 @@ def _system_path_bench(data: bytes, repeats: int,
     want_dev = [jax.device_put(want[k]) for k in range(n_batches)]
     dlens_dev = jax.device_put(dlens)
 
-    pool = ThreadPoolExecutor(int(os.environ.get(
-        "SNAPPY_TPU_SYS_WORKERS", str(min(4, os.cpu_count() or 1)))))
-    _tls = threading.local()
-
-    def _elem_tls():
-        s = getattr(_tls, "elem", None)
-        if s is None:
-            s = np.empty(native.max_compressed_length(BMAX) + 8, np.uint8)
-            _tls.elem = s
-        return s
+    n_workers = int(os.environ.get(
+        "SNAPPY_TPU_SYS_WORKERS", str(min(4, os.cpu_count() or 1))))
+    # per-batch concatenated element buffers for the one-call batch
+    # stager (C++ threads; the per-row Python pool was GIL-bound)
+    ecat = []
+    eoffs = np.zeros((n_batches, B), np.int64)
+    elens = np.zeros((n_batches, B), np.int64)
+    for k in range(n_batches):
+        off = 0
+        for i in range(B):
+            eoffs[k, i] = off
+            elens[k, i] = len(elems[k][i])
+            off += len(elems[k][i])
+        buf = np.empty(off, np.uint8)
+        for i in range(B):
+            buf[eoffs[k, i]:eoffs[k, i] + elens[k, i]] = elems[k][i]
+        ecat.append(buf)
+    hdrs64 = hdrs.astype(np.int64)
+    dstl64 = np.full(B, BMAX, np.int64)
+    blens64 = np.full(B, BMAX, np.int64)
+    rc64 = np.zeros(B, np.int64)
+    clen64 = np.zeros(B, np.int64)
+    hdr64 = np.zeros(B, np.int64)
+    elem_buf = np.empty((B, native.max_compressed_length(BMAX) + 8),
+                        np.uint8)
 
     # staging sets: triple-buffered so planning batch k never rewrites
     # host memory a pending transfer of batch k-1/k-2 may still read.
@@ -694,32 +709,24 @@ def _system_path_bench(data: bytes, repeats: int,
 
     def _stage_dec_batch(k, st):
         b_u8, fmeta, fst, ntr = st
-
-        def _row(i):
-            g = native.stage_flat_dec(
-                elems[k][i], int(hdrs[k, i]), BMAX, rb,
-                fmeta[i], fst[i], b_u8[i])
-            assert g is not None, "corpus block overflowed the flat caps"
-            ntr[i] = g
-
-        list(pool.map(_row, range(B)))
+        bad = native.stage_flat_dec_batch(
+            ecat[k], eoffs[k], elens[k], hdrs64[k], dstl64, rb,
+            fmeta, fst, b_u8, rc64, n_threads=n_workers)
+        assert bad == 0, "corpus block overflowed the flat caps"
+        ntr[:] = rc64
         return st
 
     def _stage_enc_batch(k, st):
         b_u8, fmeta, fst, ntr = st
         blocks = blocks_np[k]
-
-        def _row(i):
-            elem = _elem_tls()
-            r, clen, hdr = native.stage_flat_enc(
-                blocks[i], _FE_RB, fmeta[i], fst[i], b_u8[i],
-                _FE_TAGR * 128, elem)
-            assert r is not None, "corpus block overflowed the enc caps"
-            ntr[i] = r
-            # production compress_framed CRCs the uncompressed chunk
-            native.crc32c_arr(blocks[i])
-
-        list(pool.map(_row, range(B)))
+        bad = native.stage_flat_enc_batch(
+            blocks, blens64, _FE_RB, fmeta, fst, b_u8, _FE_TAGR * 128,
+            elem_buf, clen64, hdr64, rc64, n_threads=n_workers)
+        assert bad == 0, "corpus block overflowed the enc caps"
+        ntr[:] = rc64
+        # production compress_framed CRCs the uncompressed chunks
+        # (same byte count as B per-chunk CRCs; cost simulation only)
+        native.crc32c_arr(blocks.reshape(-1))
         return st
 
     # untimed: stage every batch once, trim to fixed shapes (one
@@ -838,7 +845,6 @@ def _system_path_bench(data: bytes, repeats: int,
     out["system_compress_times_s"] = [round(t, 3) for t in times]
     out["system_plan_enc_gbs"] = round(
         _plan_only(_stage_enc_batch, enc_sets), 4)
-    pool.shutdown()
     return out
 
 

@@ -183,6 +183,20 @@ def _load():
         ]
         lib.sn_emit_from_cands.restype = ctypes.c_int64
         lib.sn_emit_from_cands.argtypes = [u8p, ctypes.c_uint64, i32p, u8p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.sn_stage_flat_dec_batch.restype = ctypes.c_int64
+        lib.sn_stage_flat_dec_batch.argtypes = [
+            u8p, i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p, i64p,
+            ctypes.c_int64,
+        ]
+        lib.sn_stage_flat_enc_batch.restype = ctypes.c_int64
+        lib.sn_stage_flat_enc_batch.argtypes = [
+            u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
+            ctypes.c_uint64, u8p, ctypes.c_int64, i64p, i64p, i64p,
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -225,6 +239,59 @@ def compress(data: bytes) -> bytes:
     if rc < 0:
         _raise(rc)
     return dst[:rc].tobytes()
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def stage_flat_dec_batch(elems_buf: np.ndarray, offs: np.ndarray,
+                         lens: np.ndarray, hdrs: np.ndarray,
+                         dst_lens: np.ndarray, rb: int, meta: np.ndarray,
+                         starts: np.ndarray, b_rows: np.ndarray,
+                         rc_out: np.ndarray, n_threads: int = 4,
+                         piece_cap: int = -1) -> int:
+    """Whole-batch fused decode STAGE with C++ worker threads — one
+    ctypes call for B rows (the per-row Python pool paid ~30% GIL-held
+    marshalling and scaled negatively).  meta: int32[B, 8*trip_cap,
+    128]; rc_out: int64[B] gets the packed trip count or the row's
+    negative error (BUFFER -> per-chunk fallback, CORRUPT -> raise at
+    the caller).  Returns the number of negative rows."""
+    lib = _load()
+    B, nmr, _ = meta.shape
+    trip_cap = nmr // 8
+    for a in (offs, lens, hdrs, dst_lens, rc_out):
+        assert a.dtype == np.int64 and a.flags.c_contiguous
+    return int(lib.sn_stage_flat_dec_batch(
+        _as_u8p(elems_buf), _i64p(offs), _i64p(lens), _i64p(hdrs),
+        _i64p(dst_lens), B, rb, trip_cap, piece_cap, _i32p(meta),
+        _i32p(starts), _as_u8p(b_rows), _i64p(rc_out), n_threads))
+
+
+def stage_flat_enc_batch(blocks: np.ndarray, lens: np.ndarray, rb: int,
+                         meta: np.ndarray, starts: np.ndarray,
+                         b_rows: np.ndarray, tag_cap: int,
+                         elem_out: np.ndarray, clens_out: np.ndarray,
+                         hdrs_out: np.ndarray, rc_out: np.ndarray,
+                         n_threads: int = 4, piece_cap: int = -1) -> int:
+    """Whole-batch fused encode STAGE (see stage_flat_dec_batch).
+    blocks: uint8[B, block_stride]; elem_out: uint8[B, elem_cap] always
+    holds each row's full host element (the fallback emission when
+    rc_out[i] == -5).  Returns the number of negative rows."""
+    lib = _load()
+    B, nmr, _ = meta.shape
+    trip_cap = nmr // 8
+    for a in (lens, clens_out, hdrs_out, rc_out):
+        assert a.dtype == np.int64 and a.flags.c_contiguous
+    return int(lib.sn_stage_flat_enc_batch(
+        _as_u8p(blocks), blocks.shape[1], _i64p(lens), B, rb, trip_cap,
+        piece_cap, _i32p(meta), _i32p(starts), _as_u8p(b_rows), tag_cap,
+        _as_u8p(elem_out), elem_out.shape[1], _i64p(clens_out),
+        _i64p(hdrs_out), _i64p(rc_out), n_threads))
 
 
 def emit_from_cands(block: bytes | np.ndarray, packed: np.ndarray) -> bytes:

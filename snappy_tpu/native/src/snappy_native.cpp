@@ -1358,6 +1358,79 @@ int64_t sn_stage_flat_enc(const uint8_t* block, uint64_t len, int64_t rb,
   return r;
 }
 
+// Batched flat STAGE entries: one ctypes call stages a whole batch
+// with C++ worker threads (atomic row counter).  The Python pool paid
+// ~30% GIL-held ctypes marshalling per row and scaled NEGATIVELY past
+// one thread; these move the loop below the GIL entirely.
+// rc_out[i]: packed trips, or the negative SN_ERR_* for that row
+// (BUFFER rows fall back per chunk, CORRUPT rows raise).
+// Strides: meta B*(8*trip_cap*128) i32, starts B*(8*128) i32,
+// b_rows B*(rb*128) u8.
+int64_t sn_stage_flat_dec_batch(
+    const uint8_t* elems, const int64_t* offs, const int64_t* lens,
+    const int64_t* hdrs, const int64_t* dst_lens, int64_t B, int64_t rb,
+    int64_t trip_cap, int64_t piece_cap, int32_t* meta, int32_t* starts,
+    uint8_t* b_rows, int64_t* rc_out, int64_t n_threads) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= B) return;
+      rc_out[i] = sn_stage_flat_dec(
+          elems + offs[i], (uint64_t)lens[i], (uint64_t)hdrs[i],
+          (uint64_t)dst_lens[i], rb, trip_cap, piece_cap,
+          meta + i * 8 * trip_cap * 128, starts + i * 8 * 128,
+          b_rows + i * rb * 128);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; t++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  int64_t bad = 0;
+  for (int64_t i = 0; i < B; i++)
+    if (rc_out[i] < 0) bad++;
+  return bad;
+}
+
+// Encode twin: blocks at fixed stride block_stride; per-row full
+// elements land at elem_out + i*elem_cap with clen/hdr in
+// clens_out/hdrs_out (negative rc rows: elem_out holds the host
+// emission when rc == SN_ERR_BUFFER, exactly as sn_stage_flat_enc).
+int64_t sn_stage_flat_enc_batch(
+    const uint8_t* blocks, int64_t block_stride, const int64_t* lens,
+    int64_t B, int64_t rb, int64_t trip_cap, int64_t piece_cap,
+    int32_t* meta, int32_t* starts, uint8_t* b_rows, uint64_t tag_cap,
+    uint8_t* elem_out, int64_t elem_cap, int64_t* clens_out,
+    int64_t* hdrs_out, int64_t* rc_out, int64_t n_threads) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= B) return;
+      rc_out[i] = sn_stage_flat_enc(
+          blocks + i * block_stride, (uint64_t)lens[i], rb, trip_cap,
+          piece_cap, meta + i * 8 * trip_cap * 128, starts + i * 8 * 128,
+          b_rows + i * rb * 128, tag_cap, elem_out + i * elem_cap,
+          clens_out + i, hdrs_out + i);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; t++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  int64_t bad = 0;
+  for (int64_t i = 0; i < B; i++)
+    if (rc_out[i] < 0) bad++;
+  return bad;
+}
+
 // ---------------------------------------------------------------------
 // Emission from device-found candidates (the host half of the
 // device-match encode engine, SURVEY.md §7.3.2).  The device matcher

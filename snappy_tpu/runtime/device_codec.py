@@ -181,6 +181,22 @@ def _plan_elem_tls() -> np.ndarray:
     return s
 
 
+_ENC_ELEM_BATCH: np.ndarray | None = None
+
+
+def _enc_elem_batch() -> np.ndarray:
+    """Shared [BATCH, elem_cap] element buffer for the batched encode
+    stager (every row's full host element; fallback rows read theirs)."""
+    global _ENC_ELEM_BATCH
+    if _ENC_ELEM_BATCH is None:
+        from snappy_tpu import native
+
+        _ENC_ELEM_BATCH = np.empty(
+            (BATCH, native.max_compressed_length(MAX_BLOCK_SIZE) + 8),
+            np.uint8)
+    return _ENC_ELEM_BATCH
+
+
 def _flat_trim(ntr: np.ndarray, starts: np.ndarray, rb: int,
                trip_cap: int) -> tuple[int, int]:
     """Bucketed panel trim for a staged flat batch: (trip bucket, B rows).
@@ -310,28 +326,29 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             fmeta = np.empty((BATCH, 8 * ENC_TRIP_CAP, 128), np.int32)
             fst = np.zeros((BATCH, 8, 128), np.int32)
             ntr = np.zeros(BATCH, np.int32)
-            clens_h = np.zeros(BATCH, np.int32)
-            hdrs = np.zeros(BATCH, np.int32)
             fallback: dict = {}
 
-            def _plan_enc_row(i):
-                # fused stage: compress (the matcher IS the plan) +
-                # parse + plan + B-row assembly in one native call
-                elem = _plan_elem_tls()
-                r, clen, hdr = _native.stage_flat_enc(
-                    arr[i, : lens[i]], RB_ENC, fmeta[i], fst[i],
-                    b_u8[i], TAG_ROWS * 128, elem
-                )
-                if r is None:  # tag/trip cap: host emission directly
-                    return i, elem[hdr:clen].tobytes()
-                ntr[i] = r
-                clens_h[i] = clen
-                hdrs[i] = hdr
-                return i, None
-
-            for i, blob in _plan_pool().map(_plan_enc_row, range(cnt)):
-                if blob is not None:
-                    fallback[i] = blob
+            # one-call batched fused STAGE: compress (the matcher IS
+            # the plan) + parse + plan + B-row assembly, C++ threads
+            lens64 = lens[:cnt].astype(np.int64)
+            clens64 = np.zeros(cnt, np.int64)
+            hdrs64 = np.zeros(cnt, np.int64)
+            rc64 = np.zeros(cnt, np.int64)
+            elem_buf = _enc_elem_batch()
+            bad = _native.stage_flat_enc_batch(
+                arr[:cnt], lens64, RB_ENC, fmeta[:cnt], fst[:cnt],
+                b_u8[:cnt], TAG_ROWS * 128, elem_buf[:cnt], clens64,
+                hdrs64, rc64, n_threads=min(4, os.cpu_count() or 1))
+            ntr[:cnt] = np.maximum(rc64, 0).astype(np.int32)
+            clens_h = clens64.astype(np.int32)
+            hdrs = hdrs64.astype(np.int32)
+            if bad:
+                for i in range(cnt):
+                    if rc64[i] >= 0:
+                        continue
+                    # tag/trip cap: the row's host emission directly
+                    fallback[i] = elem_buf[
+                        i, int(hdrs64[i]):int(clens64[i])].tobytes()
                     ntr[i] = 0
             # pre-cast on host: saves a full-HBM-pass device cast per
             # call (the encode path is fixed-overhead-bound); trim the
@@ -616,46 +633,44 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 dlens_w = dlens.copy()
                 want_w = want.copy()
 
-                # per-row planning is independent; the native calls
-                # release the GIL, so a small pool overlaps them
-                def _plan_row(args, _rb=rb):
-                    row, i = args
-                    _, p_off, p_len, crc_, dst_len, hdr = chunks[i]
-                    payload = src_arr[p_off : p_off + p_len]
-                    # fused single-pass STAGE: parse (validating,
-                    # exactly as parse_tags) + plan + device B-row
-                    # assembly in one native call
-                    g = _native.stage_flat_dec(
-                        payload, hdr, dst_len, _rb,
-                        fmeta[row], fstarts[row], b_u8[row]
-                    )
-                    if g is None:
+                # one-call batched fused STAGE (parse+plan+B assembly),
+                # C++ worker threads — the payloads are slices of
+                # src_arr, so it doubles as the shared element buffer
+                ng = len(grp)
+                offs64 = np.array([chunks[i][1] for i in grp], np.int64)
+                lens64 = np.array([chunks[i][2] for i in grp], np.int64)
+                hdrs64 = np.array([chunks[i][5] for i in grp], np.int64)
+                dstl64 = np.array([chunks[i][4] for i in grp], np.int64)
+                rc64 = np.zeros(ng, np.int64)
+                bad = _native.stage_flat_dec_batch(
+                    src_arr, offs64, lens64, hdrs64, dstl64, rb,
+                    fmeta[:ng], fstarts[:ng], b_u8[:ng],
+                    rc64, n_threads=min(4, os.cpu_count() or 1))
+                ntr[:ng] = np.maximum(rc64, 0).astype(np.int32)
+                if bad:
+                    for row, i in enumerate(grp):
+                        rc = int(rc64[row])
+                        if rc >= 0:
+                            continue
+                        if rc != -5:
+                            raise CorruptError(
+                                "invalid chunk payload (flat stage)")
                         # pathological plan density: decode on host
-                        return row, i, None, _host_decompress_raw(
-                            bytes(payload)
-                        )
-                    ntr[row] = g
-                    return row, i, g, None
-
-                for row, i, g, blob in _plan_pool().map(
-                    _plan_row, list(enumerate(grp))
-                ):
-                    if g is not None:
-                        continue
-                    dst_len = chunks[i][4]
-                    if len(blob) != dst_len:
-                        raise CorruptError(
-                            "chunk preamble disagrees with decoded size"
-                        )
-                    out[dst_offs[i] : dst_offs[i] + dst_len] = np.frombuffer(
-                        blob, dtype=np.uint8
-                    )
-                    host_rows.add(row)
-                    fallback_verify.add(i)
-                    ntr[row] = 0
-                    fmeta[row, :8] = 0
-                    dlens_w[row] = 0
-                    want_w[row] = 0
+                        _, p_off, p_len, _c, dst_len, _h = chunks[i]
+                        blob = _host_decompress_raw(
+                            bytes(src_arr[p_off : p_off + p_len]))
+                        if len(blob) != dst_len:
+                            raise CorruptError(
+                                "chunk preamble disagrees with decoded size"
+                            )
+                        out[dst_offs[i] : dst_offs[i] + dst_len] = (
+                            np.frombuffer(blob, dtype=np.uint8))
+                        host_rows.add(row)
+                        fallback_verify.add(i)
+                        ntr[row] = 0
+                        fmeta[row, :8] = 0
+                        dlens_w[row] = 0
+                        want_w[row] = 0
                 # trim all-pad meta/B rows before dispatch: plans average
                 # ~2 trips vs the 48-trip cap, and every source read goes
                 # through a [S, S+128) window, so max(S)+128 rows bound
