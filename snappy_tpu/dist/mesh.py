@@ -269,6 +269,39 @@ def sharded_encode_flat(
     return np.asarray(out)[:b]
 
 
+def sharded_match(
+    mesh: Mesh,
+    blocks: list[bytes],
+    slots: int = 4096,
+    interpret: bool | None = None,
+) -> np.ndarray:
+    """Device match finder data-parallel over the mesh: each device
+    sorts its local blocks' (v-word, pos) panels (kernels/pallas_match)
+    and ships sorted (position, packed) pairs; the host scatters them
+    home.  Zero collectives — candidate search is per-block.  Returns
+    int32[B, slots] packed candidates (match_np contract)."""
+    from snappy_tpu.kernels import pallas_match
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    w_i32, npos = pallas_match.stage_words(blocks, slots)
+    (w_i32, npos), b = _pad_to_mesh(mesh, w_i32, npos)
+    arrs = _shard_batch(mesh, w_i32, npos)
+
+    def _local(w, np_):
+        return pallas_match._match_jit(w, np_, interpret=interpret,
+                                       group=1, home=False)
+
+    with mesh:
+        pairs = jax.jit(jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P("d"), P("d")),
+            out_specs=P("d"),
+            check_vma=False,
+        ))(*arrs)
+    return pallas_match.scatter_home(np.asarray(pairs)[:b])
+
+
 @functools.partial(jax.jit, static_argnames=("bmax",))
 def _roundtrip_jit(blocks, lens, bmax: int):
     """The full device pipeline in ONE jitted graph: parallel encode of
