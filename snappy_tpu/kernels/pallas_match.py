@@ -196,11 +196,6 @@ def _match_kernel(scal_ref, w_ref, out_ref, *, group, slots, home):
             out_ref[g, rows_v:] = packed
 
 
-def _match_kernel_body(scal_ref, w_ref, out_ref, *, group, slots, home):
-    _match_kernel(scal_ref, w_ref, out_ref, group=group, slots=slots,
-                  home=home)
-
-
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "group", "home"))
 def _match_jit(w_i32, npos, interpret: bool, group: int,
@@ -223,7 +218,7 @@ def _match_jit(w_i32, npos, interpret: bool, group: int,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_match_kernel_body, group=group, slots=slots,
+        functools.partial(_match_kernel, group=group, slots=slots,
                           home=home),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, rows_v, VEC), jnp.int32),
