@@ -184,15 +184,19 @@ def _plan_elem_tls() -> np.ndarray:
 _ENC_ELEM_BATCH: np.ndarray | None = None
 
 
-def _enc_elem_batch() -> np.ndarray:
-    """Shared [BATCH, elem_cap] element buffer for the batched encode
-    stager (every row's full host element; fallback rows read theirs)."""
+def _enc_elem_batch(rows: int) -> np.ndarray:
+    """Shared [>=rows, elem_cap] element buffer for the batched encode
+    stager (every row's full host element; fallback rows read theirs).
+    Regrown if a caller needs more rows than the cached buffer has
+    (tests monkeypatch BATCH) — the C++ side writes rows 0..B-1 at the
+    buffer's stride, so a short buffer would be a heap overflow."""
     global _ENC_ELEM_BATCH
-    if _ENC_ELEM_BATCH is None:
+    if _ENC_ELEM_BATCH is None or _ENC_ELEM_BATCH.shape[0] < rows:
         from snappy_tpu import native
 
         _ENC_ELEM_BATCH = np.empty(
-            (BATCH, native.max_compressed_length(MAX_BLOCK_SIZE) + 8),
+            (max(rows, BATCH),
+             native.max_compressed_length(MAX_BLOCK_SIZE) + 8),
             np.uint8)
     return _ENC_ELEM_BATCH
 
@@ -334,7 +338,7 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             clens64 = np.zeros(cnt, np.int64)
             hdrs64 = np.zeros(cnt, np.int64)
             rc64 = np.zeros(cnt, np.int64)
-            elem_buf = _enc_elem_batch()
+            elem_buf = _enc_elem_batch(cnt)
             bad = _native.stage_flat_enc_batch(
                 arr[:cnt], lens64, RB_ENC, fmeta[:cnt], fst[:cnt],
                 b_u8[:cnt], TAG_ROWS * 128, elem_buf[:cnt], clens64,
