@@ -190,6 +190,12 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p, i64p,
             ctypes.c_int64,
         ]
+        lib.sn_stage_flat_dec_seg.restype = ctypes.c_int64
+        lib.sn_stage_flat_dec_seg.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, i64p, u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
+        ]
         lib.sn_stage_flat_enc_batch.restype = ctypes.c_int64
         lib.sn_stage_flat_enc_batch.argtypes = [
             u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
@@ -270,6 +276,33 @@ def stage_flat_dec_batch(elems_buf: np.ndarray, offs: np.ndarray,
         _as_u8p(elems_buf), _i64p(offs), _i64p(lens), _i64p(hdrs),
         _i64p(dst_lens), B, rb, trip_cap, piece_cap, _i32p(meta),
         _i32p(starts), _as_u8p(b_rows), _i64p(rc_out), n_threads))
+
+
+def stage_flat_dec_seg(element: np.ndarray, dst_total: int,
+                       state: np.ndarray, img: np.ndarray, seg_len: int,
+                       cmax: int, rb: int, meta: np.ndarray,
+                       starts: np.ndarray, b_row: np.ndarray,
+                       piece_cap: int = -1) -> int | None:
+    """Segmented RAW-stream flat STAGE (see sn_stage_flat_dec_seg):
+    plans ``seg_len`` output bytes of one raw element as a dependency-
+    free flat plan, carrying the walk state and the rolling 64 KiB
+    history in ``img`` (65536 + seg_len + 64 bytes; caller slides the
+    carry between segments).  state: int64[6] {s, d, lit_src, lit_rem,
+    copy_off, copy_rem}; initialize to [hdr, 0, 0, 0, 0, 0].  Returns
+    packed trips, None when a cap/oversized slice forces the host
+    fallback, raises on corrupt streams."""
+    lib = _load()
+    trip_cap = meta.shape[0] // 8
+    assert state.dtype == np.int64 and state.shape == (6,)
+    rc = lib.sn_stage_flat_dec_seg(
+        _as_u8p(element), element.shape[0], dst_total, _i64p(state),
+        _as_u8p(img), seg_len, cmax, rb, trip_cap, piece_cap,
+        _i32p(meta), _i32p(starts), _as_u8p(b_row))
+    if rc == -5:
+        return None
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc)
 
 
 def stage_flat_enc_batch(blocks: np.ndarray, lens: np.ndarray, rb: int,

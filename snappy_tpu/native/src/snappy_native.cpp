@@ -1358,6 +1358,168 @@ int64_t sn_stage_flat_enc(const uint8_t* block, uint64_t len, int64_t rb,
   return r;
 }
 
+// Segmented flat STAGE for RAW streams (round 3): one raw snappy
+// element decodes as fixed-size output segments, each with its own
+// dependency-free flat plan.  Copies reach at most 65535 bytes back,
+// so the HOST replay carries a rolling 64 KiB history (img[0..64Ki));
+// the DEVICE needs no carry at all — mirror pieces source the
+// segment's own image, direct gathers source the staged payload
+// slice.  Copies (<= 64 bytes) and literals (any length) may straddle
+// a segment boundary; the walk state resumes them.
+//   state: int64[6] = {s, d, lit_src, lit_rem, copy_off, copy_rem}
+//   img:   host scratch, 65536 + seg_len + 64 bytes; [0,64Ki) = the
+//          previous segment's tail (caller slides it), replay writes
+//          the segment at img+65536
+//   b_row: as sn_stage_flat_dec (payload slice + mirror image)
+// Returns pack()'s trips, SN_ERR_CORRUPT, or SN_ERR_BUFFER when the
+// payload slice exceeds cmax or a plan cap (caller falls back to the
+// host decoder for the stream).
+int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
+                              uint64_t dst_total, int64_t* state,
+                              uint8_t* img, int64_t seg_len, int64_t cmax,
+                              int64_t rb, int64_t trip_cap,
+                              int64_t piece_cap, int32_t* meta,
+                              int32_t* starts_out, uint8_t* b_row) {
+  using namespace flatplan;
+  if (trip_cap > 256) return SN_ERR_BUFFER;
+  if (seg_len > (int64_t)kPatRows * kVec) return SN_ERR_BUFFER;
+
+  uint64_t s = (uint64_t)state[0];
+  int64_t d0 = state[1];
+  int64_t lit_src = state[2], lit_rem = state[3];
+  int64_t copy_off = state[4], copy_rem = state[5];
+  // payload slice starts at the resumed literal's data (so its bytes
+  // are in-slice for direct gathers) or at the current tag
+  int64_t slice_start = lit_rem > 0 ? lit_src : (int64_t)s;
+
+  uint8_t* dec = img + 65536;
+  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
+  memset(b_row, 0, kVec);  // pad row
+
+  Ctx ctx = make_ctx(src, n, piece_cap, dec, seg_len + 64);
+  // the mirror base depends on the slice length, known only after the
+  // walk — emit mirror pieces at a sentinel base far above any payload
+  // address and rebase afterwards (a 0 base would collide with payload
+  // coords in segment 0)
+  const int32_t kSegSentinel = 1 << 27;
+  ctx.pat_base0 = kSegSentinel;
+
+  int64_t drel = 0;
+  // resume a straddling copy (continues the same period; the replay
+  // source reaches into the carry)
+  if (copy_rem > 0) {
+    int64_t take = copy_rem < seg_len ? copy_rem : seg_len;
+    if (!ctx.tag(1, take, copy_off, 0)) return SN_ERR_BUFFER;
+    copy_rem -= take;
+    drel = take;
+  }
+  // resume a straddling literal
+  if (copy_rem == 0 && lit_rem > 0 && drel < seg_len) {
+    int64_t take = lit_rem < seg_len - drel ? lit_rem : seg_len - drel;
+    if (!ctx.tag(0, take, lit_src, drel)) return SN_ERR_BUFFER;
+    lit_src += take;
+    lit_rem -= take;
+    drel += take;
+  }
+  while (drel < seg_len) {
+    if (s >= n) return SN_ERR_CORRUPT;
+    uint32_t tag = src[s] & 3;
+    uint64_t length, offset;
+    if (tag == 0) {
+      uint32_t x = src[s] >> 2;
+      if (x < 60) {
+        s += 1;
+      } else if (x == 60) {
+        s += 2;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 1];
+      } else if (x == 61) {
+        s += 3;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 2] | ((uint32_t)src[s - 1] << 8);
+      } else if (x == 62) {
+        s += 4;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 3] | ((uint32_t)src[s - 2] << 8) |
+            ((uint32_t)src[s - 1] << 16);
+      } else {
+        s += 5;
+        if (s > n) return SN_ERR_CORRUPT;
+        x = src[s - 4] | ((uint32_t)src[s - 3] << 8) |
+            ((uint32_t)src[s - 2] << 16) | ((uint32_t)src[s - 1] << 24);
+      }
+      length = (uint64_t)x + 1;
+      if (length > dst_total - (uint64_t)(d0 + drel)) return SN_ERR_CORRUPT;
+      if (length > n - s) return SN_ERR_CORRUPT;
+      int64_t take = (int64_t)length;
+      if (drel + take > seg_len) {
+        take = seg_len - drel;
+        lit_src = (int64_t)s + take;
+        lit_rem = (int64_t)length - take;
+      }
+      if (!ctx.tag(0, take, (int64_t)s, drel)) return SN_ERR_BUFFER;
+      s += length;
+      drel += take;
+      continue;
+    } else if (tag == 1) {
+      s += 2;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 4 + ((src[s - 2] >> 2) & 7);
+      offset = ((uint64_t)(src[s - 2] & 0xe0) << 3) | src[s - 1];
+    } else if (tag == 2) {
+      s += 3;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 3] >> 2);
+      offset = src[s - 2] | ((uint64_t)src[s - 1] << 8);
+    } else {
+      s += 5;
+      if (s > n) return SN_ERR_CORRUPT;
+      length = 1 + (src[s - 5] >> 2);
+      offset = src[s - 4] | ((uint64_t)src[s - 3] << 8) |
+               ((uint64_t)src[s - 2] << 16) | ((uint64_t)src[s - 1] << 24);
+    }
+    if (offset == 0 || (uint64_t)(d0 + drel) < offset) return SN_ERR_CORRUPT;
+    // offsets past the 64 KiB carry are format-legal (no real encoder
+    // emits them): not plannable per segment — host decoder instead
+    if (offset > 65536) return SN_ERR_BUFFER;
+    if (length > dst_total - (uint64_t)(d0 + drel)) return SN_ERR_CORRUPT;
+    int64_t take = (int64_t)length;
+    if (drel + take > seg_len) {
+      take = seg_len - drel;
+      copy_off = (int64_t)offset;
+      copy_rem = (int64_t)length - take;
+    }
+    if (!ctx.tag(1, take, (int64_t)offset, drel)) return SN_ERR_BUFFER;
+    drel += take;
+  }
+  if (!ctx.finish()) return SN_ERR_BUFFER;
+
+  int64_t slice_len = (int64_t)s - slice_start;
+  if (slice_len > cmax) return SN_ERR_BUFFER;
+  int64_t base = mirror_base((uint64_t)slice_len);
+  if (base + seg_len + 64 > rb * kVec) return SN_ERR_BUFFER;
+  // rebase mirror pieces (sentinel-based) and shift direct payload
+  // gathers from absolute src coords to slice coords
+  for (auto& p : pieces_buf) {
+    if (p.b >= kSegSentinel) {
+      p.b = p.b - kSegSentinel + (int32_t)base;  // mirror run
+    } else {
+      p.b -= (int32_t)slice_start;  // payload direct gather
+    }
+  }
+  memcpy(b_row + kVec, src + slice_start, (size_t)slice_len);
+  memcpy(b_row + base, dec, (size_t)seg_len);
+  zero_slop_tail(b_row + base, seg_len, rb * kVec - base);
+
+  state[0] = (int64_t)s;
+  state[1] = d0 + seg_len;
+  state[2] = lit_src;
+  state[3] = lit_rem;
+  state[4] = copy_off;
+  state[5] = copy_rem;
+  return pack(pieces_buf, rb, trip_cap, meta, starts_out);
+}
+
 // Batched flat STAGE entries: one ctypes call stages a whole batch
 // with C++ worker threads (atomic row counter).  The Python pool paid
 // ~30% GIL-held ctypes marshalling per row and scaled NEGATIVELY past

@@ -768,14 +768,99 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 raise ChecksumError(ch[3], got)
 
 
+# Segment width for large-raw device decode (one flat plan per SEG
+# output bytes; copies reach <= 64 KiB back, so the host planner keeps
+# a rolling carry while the device executes independent plans).
+_RAW_SEG = 65536
+_RAW_SEG_CMAX = 2 * 65536  # payload slice cap per segment (host fallback past it)
+
+
+def _decompress_raw_flat(data: bytes, dst_len: int, hdr: int) -> bytes | None:
+    """Device decode of an arbitrarily large raw stream through the
+    production flat engine: 64 KiB output segments planned serially on
+    the host (sn_stage_flat_dec_seg carries the walk state + 64 KiB
+    history), executed in device batches.  Returns None when a segment
+    is unplannable (oversized slice / plan caps / >64Ki offsets) — the
+    caller falls back to the host decoder.  Raises CorruptError on
+    invalid streams (same walk validation as the host decoder)."""
+    from snappy_tpu import native as _native
+    from snappy_tpu.kernels.decode_flat import (
+        TRIP_CAP as _F_TRIPS,
+        decode_blocks_flat,
+        rows_b_for,
+    )
+
+    arr = np.frombuffer(data, np.uint8)
+    rb = rows_b_for(_RAW_SEG_CMAX)
+    nseg = (dst_len + _RAW_SEG - 1) // _RAW_SEG
+    W = min(BATCH, nseg)
+    state = np.array([hdr, 0, 0, 0, 0, 0], np.int64)
+    img = np.zeros(65536 + _RAW_SEG + 64, np.uint8)
+    out = np.empty(dst_len, np.uint8)
+    # triple-buffered staging: planning batch k must never rewrite host
+    # memory a pending transfer of batch k-1/k-2 may still read (the
+    # system bench phase learned this the hard way)
+    NSETS = 3
+    sets = [
+        (np.empty((W, rb * 128), np.uint8),
+         np.empty((W, 8 * _F_TRIPS, 128), np.int32),
+         np.zeros((W, 8, 128), np.int32),
+         np.zeros(W, np.int32))
+        for _ in range(NSETS)
+    ]
+    done = 0
+    handles: list = []
+    k = 0
+    while done < dst_len:
+        b_u8, fmeta, fst, ntr = sets[k % NSETS]
+        k += 1
+        fst[:] = 0
+        base = done
+        seg_lens: list[int] = []
+        while len(seg_lens) < W and done < dst_len:
+            cnt = len(seg_lens)
+            seg = min(_RAW_SEG, dst_len - done)
+            g = _native.stage_flat_dec_seg(
+                arr, dst_len, state, img, seg, _RAW_SEG_CMAX, rb,
+                fmeta[cnt], fst[cnt], b_u8[cnt])
+            if g is None:
+                return None  # unplannable: host decoder instead
+            ntr[cnt] = g
+            seg_lens.append(seg)
+            # slide the carry: last 64 KiB of (carry + this segment)
+            img[:65536] = img[seg:seg + 65536].copy()
+            done += seg
+        ntr[len(seg_lens):] = 0
+        t_cap, rb_u = _flat_trim(ntr, fst, rb, _F_TRIPS)
+        res = decode_blocks_flat(
+            b_u8[:, : rb_u * 128].astype(np.int32).reshape(W, rb_u, 128),
+            fmeta[:, : 8 * t_cap], fst, ntr,
+            dst_max=_RAW_SEG)
+        handles.append((res, seg_lens, base))
+    if int(state[0]) != len(data) or state[3] or state[5]:
+        raise CorruptError("raw stream length disagrees with preamble")
+    for res, lens_k, base in handles:
+        res_h = np.asarray(res)
+        off = base
+        for i, seg in enumerate(lens_k):
+            out[off:off + seg] = res_h[i, :seg]
+            off += seg
+    return out.tobytes()
+
+
 def decompress(data: bytes) -> bytes:
     """Raw Snappy stream decode.  Small streams decode on device in one
-    shot; large raw streams (which lack block boundaries by format
-    design) use the native host decoder."""
+    shot; large raw streams decode through the segmented flat engine
+    (64 KiB dependency-free plans, host-carried history), falling back
+    to the native host decoder off-TPU or on unplannable streams."""
     dst_len, hdr = read_uvarint(data, 0)
     if dst_len > RAW_DEVICE_LIMIT:
         from snappy_tpu import native
 
+        if FLAT and _pallas_enabled() and native.available():
+            got = _decompress_raw_flat(data, dst_len, hdr)
+            if got is not None:
+                return got
         if native.available():
             return native.decompress(data)
         from snappy_tpu.kernels import decode_np

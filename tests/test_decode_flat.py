@@ -394,7 +394,7 @@ def test_trip_classes_are_homogeneous(rng):
                 # rotation equals the starts word's rot field (the
                 # kernel's single dynamic-shift roll depends on it)
                 w = int(starts[t >> 5, (t & 31) * 4 + s])
-                r0 = (w >> 13) & 127
+                r0 = (w >> 20) & 127  # starts word: S | Dq<<10 | rot<<20
                 assert not (valid & (rot != r0)).any(), (t, s, r0)
 
 
@@ -507,3 +507,75 @@ def test_stage_flat_dec_piece_cap_returns_none(rng):
     b_row = np.empty(rb * VEC, np.uint8)
     assert native.stage_flat_dec(cb, h, dlen, rb, meta, starts, b_row,
                                  piece_cap=2) is None
+
+
+class TestSegmentedRaw:
+    """Large-raw device decode: segmented flat plans with a host-carried
+    64 KiB history (sn_stage_flat_dec_seg + _decompress_raw_flat)."""
+
+    def _foreign(self, data):
+        import pyarrow as pa
+
+        return pa.compress(data, codec="snappy", asbytes=True)
+
+    def test_foreign_stream_roundtrip(self, monkeypatch):
+        from snappy_tpu.bench.corpus import make_corpus
+        from snappy_tpu.runtime import device_codec
+
+        monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "RAW_DEVICE_LIMIT", 100_000)
+        data = b"".join(d for _, d in make_corpus(1 << 20, seed=31))[:400_000]
+        raw = self._foreign(data)  # cross-64Ki copies (one C++ stream)
+        assert device_codec.decompress(raw) == data
+
+    def test_own_stream_and_boundary_sizes(self, monkeypatch):
+        from snappy_tpu import native
+        from snappy_tpu.runtime import device_codec
+
+        monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "RAW_DEVICE_LIMIT", 60_000)
+        rng = np.random.default_rng(8)
+        for n in (65_536, 65_537, 131_072 + 13, 200_000):
+            data = (b"segmented raw " * 4096 + rng.bytes(n))[:n]
+            raw = native.compress(data)
+            assert device_codec.decompress(raw) == data, n
+
+    def test_straddling_literal_and_copy(self, monkeypatch):
+        """A literal spanning the 64 KiB segment boundary and a copy
+        whose source lies wholly in the previous segment."""
+        from snappy_tpu import native
+        from snappy_tpu.runtime import device_codec
+
+        monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "RAW_DEVICE_LIMIT", 60_000)
+        rng = np.random.default_rng(9)
+        lit = rng.bytes(70_000)             # one huge literal straddles
+        echo = lit[60_000:60_100] * 40      # matches reach across
+        data = lit + echo + rng.bytes(10_000)
+        raw = self._foreign(data)
+        assert device_codec.decompress(raw) == data
+
+    def test_truncated_raw_raises(self, monkeypatch):
+        from snappy_tpu import native
+        from snappy_tpu.errors import CorruptError
+        from snappy_tpu.runtime import device_codec
+
+        monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "RAW_DEVICE_LIMIT", 60_000)
+        rng = np.random.default_rng(10)
+        raw = native.compress(rng.bytes(150_000))
+        with pytest.raises(CorruptError):
+            device_codec.decompress(raw[: len(raw) // 2])
+
+    def test_seg_planner_parity_vs_host(self):
+        """Per-segment planned+executed bytes equal the host decoder's
+        at every boundary split of a compressible stream."""
+        from snappy_tpu import native
+        from snappy_tpu.runtime.device_codec import _decompress_raw_flat
+        from snappy_tpu.spec.format import read_uvarint
+
+        data = (b"the quick brown fox " * 9000)[:170_000]
+        raw = native.compress(data)
+        dst_len, hdr = read_uvarint(raw, 0)
+        got = _decompress_raw_flat(raw, dst_len, hdr)
+        assert got == data
