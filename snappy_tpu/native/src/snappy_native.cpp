@@ -1393,6 +1393,7 @@ int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
   int64_t slice_start = lit_rem > 0 ? lit_src : (int64_t)s;
 
   uint8_t* dec = img + 65536;
+  int64_t slice_hi = slice_start;  // end of staged literal data
   memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
   memset(b_row, 0, kVec);  // pad row
 
@@ -1420,6 +1421,7 @@ int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
     lit_src += take;
     lit_rem -= take;
     drel += take;
+    slice_hi = lit_src;
   }
   while (drel < seg_len) {
     if (s >= n) return SN_ERR_CORRUPT;
@@ -1458,6 +1460,7 @@ int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
         lit_rem = (int64_t)length - take;
       }
       if (!ctx.tag(0, take, (int64_t)s, drel)) return SN_ERR_BUFFER;
+      if ((int64_t)s + take > slice_hi) slice_hi = (int64_t)s + take;
       s += length;
       drel += take;
       continue;
@@ -1494,7 +1497,10 @@ int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
   }
   if (!ctx.finish()) return SN_ERR_BUFFER;
 
-  int64_t slice_len = (int64_t)s - slice_start;
+  // only literal DATA is ever gathered from the payload; tags past the
+  // last staged literal byte (and straddling literals' unstaged tails)
+  // need no staging, so a multi-segment literal never blows the cap
+  int64_t slice_len = slice_hi - slice_start;
   if (slice_len > cmax) return SN_ERR_BUFFER;
   int64_t base = mirror_base((uint64_t)slice_len);
   if (base + seg_len + 64 > rb * kVec) return SN_ERR_BUFFER;

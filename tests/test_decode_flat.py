@@ -579,3 +579,31 @@ class TestSegmentedRaw:
         dst_len, hdr = read_uvarint(raw, 0)
         got = _decompress_raw_flat(raw, dst_len, hdr)
         assert got == data
+
+    def test_giant_literal_spans_many_segments(self, monkeypatch):
+        """A hand-built raw stream with one 300 KiB literal: the slice
+        high-water tracking must stage only each segment's literal
+        bytes (a slice measured to the walk position would blow the
+        per-segment cap and force a spurious fallback)."""
+        from snappy_tpu.runtime import device_codec
+        from snappy_tpu.runtime.device_codec import _decompress_raw_flat
+        from snappy_tpu.spec.format import put_uvarint, read_uvarint
+
+        rng = np.random.default_rng(12)
+        lit = rng.bytes(300_000)
+        body = bytearray(put_uvarint(len(lit) + 8))
+        n = len(lit) - 1
+        body += bytes([63 << 2, n & 255, (n >> 8) & 255,
+                       (n >> 16) & 255, (n >> 24) & 255])
+        body += lit
+        body += bytes([(3 << 2) | 2, 8, 0])   # tag2 copy: len 4, off 8
+        body += bytes([1, 4])                 # tag1 copy: len 4, off 4
+        raw = bytes(body)
+        dst_len, hdr = read_uvarint(raw, 0)
+        want = lit + lit[-8:-4] + lit[-8:-4]
+        # oracle cross-check of the hand-built stream
+        from snappy_tpu import native
+        assert native.decompress(raw) == want[:dst_len]
+        got = _decompress_raw_flat(raw, dst_len, hdr)
+        assert got is not None, "giant literal forced a fallback"
+        assert got == want[:dst_len]
