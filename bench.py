@@ -90,6 +90,14 @@ def main() -> int:
 
     platform = os.environ.get("JAX_PLATFORMS", "default")
     fallback = False
+    if platform == "cpu":
+        # honor an explicit CPU request: sitecustomize pins the axon
+        # platform, so the env var alone does NOT stick — force it via
+        # jax.config before any backend init (else a "cpu" smoke run
+        # silently lands on the TPU and overwrites BENCH_LASTGOOD)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if platform != "cpu" and not _device_alive_with_retry():
         fallback = True
         # virtual 8-device mesh so the CPU fallback still produces a
