@@ -623,7 +623,7 @@ def _system_path_bench(data: bytes, repeats: int,
     B = batch or int(os.environ.get("SNAPPY_TPU_BENCH_SYSBATCH", "64"))
     BMAX, CMAX = 65536, 66560
     sysbytes = sysbytes or int(
-        os.environ.get("SNAPPY_TPU_BENCH_SYSBYTES", str(128 << 20)))
+        os.environ.get("SNAPPY_TPU_BENCH_SYSBYTES", str(256 << 20)))
     n_batches = max(1, sysbytes // (B * BMAX))
     need = n_batches * B * BMAX
     if need > len(data):
