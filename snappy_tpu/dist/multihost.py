@@ -7,14 +7,15 @@ output offsets (exclusive scan) for its writes.  Bit-for-bit parity with
 single-host output is structural: block encodings are position
 independent.
 
-Run one process per host:
+Run one process per host (the reference ships every documented command
+as a real entry point, cmd/snappy/main.go:42-60 — so does this module):
 
     python -m snappy_tpu.dist.multihost --coordinator HOST:PORT \
         --num-processes N --process-id I compress IN OUT
 
-Without a pod this module is exercised by unit tests through its
-process-count=1 path and by the chunk-range planner tests; the dry-run
-driver validates the sharded compile path separately.
+Every process writes its own chunk range into OUT at its global offset
+(os.pwrite; ranges are disjoint) and prints one JSON stats line; the
+2-process parity test drives this entry point end to end.
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ __all__ = [
     "host_compress_framed",
     "host_decompress_framed",
     "gather_lengths",
+    "main",
 ]
 
 
@@ -149,7 +151,7 @@ def host_compress_framed(data_local: bytes, chunk_start: int,
     from snappy_tpu.spec.format import (
         CHUNK_COMPRESSED,
         CHUNK_UNCOMPRESSED,
-    framed_chunk_type,
+        framed_chunk_type,
         mask_crc,
         put_uvarint,
     )
@@ -173,3 +175,125 @@ def host_compress_framed(data_local: bytes, chunk_start: int,
         bodies.append(rec)
     lengths = np.array([len(b) for b in bodies], dtype=np.int64)
     return bodies, lengths
+
+
+# ---------------------------------------------------------------------
+# CLI entry point (one process per host)
+
+def _ensure_outfile(path: str, size: int, process_id: int) -> None:
+    """Rank 0 sizes the output file, everyone barriers, then every rank
+    idempotently re-ensures it locally (covers hosts without a shared
+    filesystem).  Disjoint pwrite ranges make the parallel writes safe."""
+    import os
+
+    import jax
+
+    if process_id == 0:
+        with open(path, "wb") as f:
+            f.truncate(size)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("snappy-tpu-outfile")
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        if os.fstat(fd).st_size < size:
+            os.ftruncate(fd, size)
+    finally:
+        os.close(fd)
+
+
+def main(argv=None) -> int:
+    import argparse
+    import json
+    import os
+    import sys
+    import time
+
+    p = argparse.ArgumentParser(
+        prog="python -m snappy_tpu.dist.multihost",
+        description="Multi-host data-parallel framed snappy codec: run "
+        "one process per host; each owns a contiguous chunk range and "
+        "writes it into OUT at its global offset.",
+    )
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordination service address "
+                        "(required when --num-processes > 1)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--chunk-size", type=int, default=MAX_CHUNK_UNCOMPRESSED)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) before "
+                        "distributed init — test/CI seam")
+    p.add_argument("--no-verify", action="store_true",
+                   help="skip CRC verification on decompress")
+    p.add_argument("command", choices=("compress", "decompress"))
+    p.add_argument("infile")
+    p.add_argument("outfile")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.num_processes > 1:
+        if not args.coordinator:
+            p.error("--coordinator is required when --num-processes > 1")
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    from snappy_tpu.spec.format import STREAM_ID_CHUNK
+
+    pid, nproc = args.process_id, args.num_processes
+    with open(args.infile, "rb") as f:
+        data = f.read()
+    t0 = time.perf_counter()
+    if args.command == "compress":
+        ranges = plan_ranges(len(data), nproc, args.chunk_size)
+        start, cnt = ranges[pid]
+        lo = start * args.chunk_size
+        hi = min(len(data), (start + cnt) * args.chunk_size)
+        bodies, lengths = host_compress_framed(
+            data[lo:hi], start, args.chunk_size)
+        all_lengths = gather_lengths(lengths)
+        blob = b"".join(bodies)
+        off = len(STREAM_ID_CHUNK) + int(all_lengths[:start].sum())
+        total_out = len(STREAM_ID_CHUNK) + int(all_lengths.sum())
+        _ensure_outfile(args.outfile, total_out, pid)
+        fd = os.open(args.outfile, os.O_RDWR)
+        try:
+            if pid == 0:
+                os.pwrite(fd, STREAM_ID_CHUNK, 0)
+            if blob:
+                os.pwrite(fd, blob, off)
+        finally:
+            os.close(fd)
+        dt = time.perf_counter() - t0
+        stats = {
+            "host": pid, "command": "compress", "chunks": cnt,
+            "bytes_in": hi - lo, "bytes_out": len(blob),
+            "seconds": round(dt, 4),
+            "gbs": round((hi - lo) / 1e9 / dt, 4) if dt > 0 else None,
+        }
+    else:
+        base, blob, total, stats = host_decompress_framed(
+            data, pid, nproc, verify_checksums=not args.no_verify)
+        _ensure_outfile(args.outfile, total, pid)
+        fd = os.open(args.outfile, os.O_RDWR)
+        try:
+            if blob:
+                os.pwrite(fd, blob, base)
+        finally:
+            os.close(fd)
+        stats = dict(stats, command="decompress")
+    print(json.dumps(stats), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -329,10 +329,11 @@ def stage_flat_enc_batch(blocks: np.ndarray, lens: np.ndarray, rb: int,
 
 def emit_from_cands(block: bytes | np.ndarray, packed: np.ndarray) -> bytes:
     """Block-body emission from device-found match candidates (see
-    sn_emit_from_cands): exact extension (cap 64) of the packed
-    near/first pairs, greedy+lazy parses, prune, copy-start alignment,
-    smaller emission wins — byte-exact to
-    kernels.match_np.encode_block_sortmatch (tests enforce)."""
+    sn_emit_from_cands): lazily-memoized exact extension (cap 64) of
+    the packed near/first pairs, greedy parse + prune — byte-exact to
+    kernels.match_np.encode_block_sortmatch (tests enforce; the
+    contract's copy-start-alignment pass is an identity under ML_CAP=64
+    and omitted here)."""
     lib = _load()
     n = len(block)
     src = _to_arr(bytes(block)) if isinstance(block, (bytes, bytearray)) else block

@@ -947,6 +947,14 @@ struct Ctx {
   uint8_t* dec;  // the mirror image region (pat buffer / B row)
   const uint8_t* comp;
   int64_t pat_base0;  // B address of dec[0]; 128-aligned
+  // Subtracted from payload coordinates when emitting direct-gather
+  // pieces: the segmented raw stager stages only the slice
+  // [payload_base, slice_hi) into B, so pieces must be slice-relative
+  // AT EMISSION TIME — int32 Piece.b cannot hold absolute offsets of
+  // multi-GiB raw payloads, and absolute offsets >= 2^27 would collide
+  // with the mirror sentinel (round-3 advisor finding).  Zero for the
+  // block planners (whole payload staged at B[128..)).
+  int64_t payload_base = 0;
   int64_t piece_cap;
   int64_t dec_cap;    // allocation size of dec (slop bound, NOT dst_len)
   int64_t comp_len;   // allocation size of comp (literal slop bound)
@@ -1028,7 +1036,7 @@ struct Ctx {
         lits->push_back(d);
         lite->push_back(d + L);
         lita->push_back(arg);
-        b_direct = kVec + arg;
+        b_direct = kVec + (arg - payload_base);
       }
     } else if (L >= g_direct_t) {
       int64_t s0 = d - arg;
@@ -1037,7 +1045,7 @@ struct Ctx {
                     lits->begin()) -
           1;
       if (i >= 0 && (*lite)[i] >= s0 + L)
-        b_direct = kVec + (*lita)[i] + (s0 - (*lits)[i]);
+        b_direct = kVec + ((*lita)[i] - payload_base) + (s0 - (*lits)[i]);
     }
     if (b_direct >= 0) {
       flush_run();
@@ -1399,11 +1407,17 @@ int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
 
   Ctx ctx = make_ctx(src, n, piece_cap, dec, seg_len + 64);
   // the mirror base depends on the slice length, known only after the
-  // walk — emit mirror pieces at a sentinel base far above any payload
-  // address and rebase afterwards (a 0 base would collide with payload
-  // coords in segment 0)
+  // walk — emit mirror pieces at a sentinel base far above any
+  // SLICE-RELATIVE payload address and rebase afterwards.  Payload
+  // pieces are emitted slice-relative (ctx.payload_base): they are
+  // bounded by the per-segment slice span (<< 2^27), so they can never
+  // collide with the sentinel — absolute payload offsets could, once a
+  // raw stream's payload crosses 128 MiB (and overflow int32 past
+  // 2 GiB).  Regression: tests/test_decode_flat.py
+  // test_seg_payload_past_sentinel.
   const int32_t kSegSentinel = 1 << 27;
   ctx.pat_base0 = kSegSentinel;
+  ctx.payload_base = slice_start;
 
   int64_t drel = 0;
   // resume a straddling copy (continues the same period; the replay
@@ -1504,14 +1518,10 @@ int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
   if (slice_len > cmax) return SN_ERR_BUFFER;
   int64_t base = mirror_base((uint64_t)slice_len);
   if (base + seg_len + 64 > rb * kVec) return SN_ERR_BUFFER;
-  // rebase mirror pieces (sentinel-based) and shift direct payload
-  // gathers from absolute src coords to slice coords
+  // rebase mirror pieces (sentinel-based); payload gathers are already
+  // slice-relative (ctx.payload_base)
   for (auto& p : pieces_buf) {
-    if (p.b >= kSegSentinel) {
-      p.b = p.b - kSegSentinel + (int32_t)base;  // mirror run
-    } else {
-      p.b -= (int32_t)slice_start;  // payload direct gather
-    }
+    if (p.b >= kSegSentinel) p.b = p.b - kSegSentinel + (int32_t)base;
   }
   memcpy(b_row + kVec, src + slice_start, (size_t)slice_len);
   memcpy(b_row + base, dec, (size_t)seg_len);

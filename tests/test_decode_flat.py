@@ -523,7 +523,6 @@ class TestSegmentedRaw:
         from snappy_tpu.runtime import device_codec
 
         monkeypatch.setattr(device_codec, "_pallas_cache", True)
-        monkeypatch.setattr(device_codec, "RAW_DEVICE_LIMIT", 100_000)
         data = b"".join(d for _, d in make_corpus(1 << 20, seed=31))[:400_000]
         raw = self._foreign(data)  # cross-64Ki copies (one C++ stream)
         assert device_codec.decompress(raw) == data
@@ -533,12 +532,33 @@ class TestSegmentedRaw:
         from snappy_tpu.runtime import device_codec
 
         monkeypatch.setattr(device_codec, "_pallas_cache", True)
-        monkeypatch.setattr(device_codec, "RAW_DEVICE_LIMIT", 60_000)
         rng = np.random.default_rng(8)
         for n in (65_536, 65_537, 131_072 + 13, 200_000):
             data = (b"segmented raw " * 4096 + rng.bytes(n))[:n]
             raw = native.compress(data)
             assert device_codec.decompress(raw) == data, n
+
+    def test_small_raw_selects_flat_engine(self, monkeypatch):
+        """VERDICT r3 #5: raw streams of any size (here 1 KiB and 1 MiB)
+        must route through the segmented flat engine on TPU — the old
+        8 MiB threshold sent small streams to the slow jnp kernel."""
+        from snappy_tpu import native
+        from snappy_tpu.runtime import device_codec
+
+        monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        calls = []
+        real = device_codec._decompress_raw_flat
+
+        def spy(data, dst_len, hdr):
+            calls.append(dst_len)
+            return real(data, dst_len, hdr)
+
+        monkeypatch.setattr(device_codec, "_decompress_raw_flat", spy)
+        for n in (1024, 1 << 20):
+            data = (b"flat for every size " * 60000)[:n]
+            raw = native.compress(data)
+            assert device_codec.decompress(raw) == data
+        assert calls == [1024, 1 << 20]
 
     def test_straddling_literal_and_copy(self, monkeypatch):
         """A literal spanning the 64 KiB segment boundary and a copy
@@ -547,7 +567,6 @@ class TestSegmentedRaw:
         from snappy_tpu.runtime import device_codec
 
         monkeypatch.setattr(device_codec, "_pallas_cache", True)
-        monkeypatch.setattr(device_codec, "RAW_DEVICE_LIMIT", 60_000)
         rng = np.random.default_rng(9)
         lit = rng.bytes(70_000)             # one huge literal straddles
         echo = lit[60_000:60_100] * 40      # matches reach across
@@ -561,7 +580,6 @@ class TestSegmentedRaw:
         from snappy_tpu.runtime import device_codec
 
         monkeypatch.setattr(device_codec, "_pallas_cache", True)
-        monkeypatch.setattr(device_codec, "RAW_DEVICE_LIMIT", 60_000)
         rng = np.random.default_rng(10)
         raw = native.compress(rng.bytes(150_000))
         with pytest.raises(CorruptError):
@@ -607,3 +625,58 @@ class TestSegmentedRaw:
         got = _decompress_raw_flat(raw, dst_len, hdr)
         assert got is not None, "giant literal forced a fallback"
         assert got == want[:dst_len]
+
+    def test_seg_payload_past_sentinel(self):
+        """Round-3 advisor high finding: payload pieces must be emitted
+        slice-relative — a raw stream whose compressed payload crosses
+        2^27 used to alias the mirror sentinel (absolute b >= 1<<27 was
+        re-based as a mirror run), silently corrupting the decode.  This
+        stages a >128 MiB single-literal stream segment by segment and
+        np-executes the plans that straddle the sentinel."""
+        from snappy_tpu import native
+        from snappy_tpu.kernels.decode_flat import (
+            NSUB,
+            TRIP_CAP,
+            VEC,
+            execute_flat_np,
+            rows_b_for,
+        )
+        from snappy_tpu.spec.format import put_uvarint, read_uvarint
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        seg, cmax = 65536, 2 * 65536
+        rng = np.random.default_rng(13)
+        lit = rng.bytes((1 << 27) + 4 * seg)  # payload crosses 2^27
+        body = bytearray(put_uvarint(len(lit)))
+        n = len(lit) - 1
+        body += bytes([63 << 2, n & 255, (n >> 8) & 255,
+                       (n >> 16) & 255, (n >> 24) & 255])
+        body += lit
+        raw = np.frombuffer(bytes(body), np.uint8)
+        dst_len, hdr = read_uvarint(bytes(body[:8]), 0)
+        assert dst_len == len(lit)
+
+        rb = rows_b_for(cmax)
+        state = np.array([hdr, 0, 0, 0, 0, 0], np.int64)
+        img = np.zeros(65536 + seg + 64, np.uint8)
+        meta = np.empty((8 * TRIP_CAP, VEC), np.int32)
+        starts = np.zeros((8, VEC), np.int32)
+        b_row = np.empty(rb * VEC, np.uint8)
+        nseg = (dst_len + seg - 1) // seg
+        k_cross = ((1 << 27) - hdr - 5) // seg  # first seg past 2^27
+        check = {0, k_cross - 1, k_cross, k_cross + 1, nseg - 1}
+        done = 0
+        for k in range(nseg):
+            take = min(seg, dst_len - done)
+            g = native.stage_flat_dec_seg(
+                raw, dst_len, state, img, take, cmax, rb,
+                meta, starts, b_row)
+            assert g is not None, f"segment {k} fell back"
+            if k in check:
+                got = execute_flat_np(meta, starts, g, b_row, take)
+                assert bytes(got) == lit[done:done + take], (
+                    f"segment {k} corrupted (sentinel aliasing)")
+            img[:65536] = img[take:take + 65536].copy()
+            done += take
+        assert done == dst_len

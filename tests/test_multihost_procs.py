@@ -1,64 +1,44 @@
 """True multi-process multi-host validation (BASELINE config 5 on
-localhost): two jax.distributed processes compress their chunk ranges,
-allgather lengths over the coordination service, and the assembled
-stream must be bit-identical to the single-host output."""
+localhost): two jax.distributed processes drive the documented module
+entry point (`python -m snappy_tpu.dist.multihost`) end to end —
+compress their chunk ranges into one output file, then decompress it —
+and the results must be bit-identical to the single-host oracle."""
 
+import json
 import os
-import pickle
 import socket
 import subprocess
 import sys
 
 import pytest
 
-_WORKER = r"""
-import os, sys, pickle
-sys.path.insert(0, sys.argv[4])
-os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
-import jax
-jax.config.update('jax_platforms', 'cpu')
-pid, nproc, port, repo, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5]
-jax.distributed.initialize(coordinator_address=f'127.0.0.1:{port}',
-                           num_processes=nproc, process_id=pid)
-from snappy_tpu.dist import multihost
-from snappy_tpu.bench.corpus import make_enwik_like
-data = make_enwik_like(300_000)
-ranges = multihost.plan_ranges(len(data), nproc)
-start, cnt = ranges[pid]
-lo, hi = start * 65536, min(len(data), (start + cnt) * 65536)
-bodies, lengths = multihost.host_compress_framed(data[lo:hi], start)
-all_lengths = multihost.gather_lengths(lengths)
-with open(f'{outdir}/part_{pid}.bin', 'wb') as f:
-    f.write(b''.join(bodies))
-with open(f'{outdir}/meta_{pid}.pkl', 'wb') as f:
-    pickle.dump((list(lengths), list(all_lengths)), f)
 
-# decompress side: each process decodes its chunk range of the full
-# stream (assembled locally from the allgathered parts via the framing
-# oracle: every host holds the same compressed stream in real use)
-from snappy_tpu.spec import framing
-full = framing.compress_framed(data)
-base, blob, total, stats = multihost.host_decompress_framed(full, pid, nproc)
-assert total == len(data)
-with open(f'{outdir}/dec_{pid}.pkl', 'wb') as f:
-    pickle.dump((base, blob, stats), f)
-"""
-
-
-@pytest.mark.slow
-def test_two_process_parity(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+        return s.getsockname()[1]
+
+
+def _run_cli(repo, command, infile, outfile, extra=()):
+    """Launch the module CLI once per 'host' and return the parsed
+    per-host stats lines."""
+    port = _free_port()
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i), "2", str(port), repo, str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            [sys.executable, "-m", "snappy_tpu.dist.multihost",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--platform", "cpu", *extra,
+             command, str(infile), str(outfile)],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
         for i in range(2)
     ]
+    stats = []
     for p in procs:
         try:
             out, err = p.communicate(timeout=240)
@@ -66,23 +46,31 @@ def test_two_process_parity(tmp_path):
             p.kill()
             pytest.fail("multihost worker timed out")
         assert p.returncode == 0, err.decode()[-2000:]
+        stats.append(json.loads(out.decode().strip().splitlines()[-1]))
+    return stats
 
+
+@pytest.mark.slow
+def test_two_process_cli_parity(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     from snappy_tpu.bench.corpus import make_enwik_like
-    from snappy_tpu.spec.format import STREAM_ID_CHUNK
     from snappy_tpu.spec import framing
 
     data = make_enwik_like(300_000)
-    parts = [(tmp_path / f"part_{i}.bin").read_bytes() for i in range(2)]
-    assembled = bytes(STREAM_ID_CHUNK) + b"".join(parts)
-    l0, g0 = pickle.loads((tmp_path / "meta_0.pkl").read_bytes())
-    l1, g1 = pickle.loads((tmp_path / "meta_1.pkl").read_bytes())
-    assert g0 == g1 == l0 + l1  # every host sees the same global lengths
+    infile = tmp_path / "in.bin"
+    infile.write_bytes(data)
+    sz = tmp_path / "out.sz"
+    dec = tmp_path / "out.bin"
+
+    stats = _run_cli(repo, "compress", infile, sz)
+    assert sorted(s["host"] for s in stats) == [0, 1]
+    assert all(s["gbs"] is not None for s in stats)
+    assert sum(s["chunks"] for s in stats) == (len(data) + 65535) // 65536
     # bit parity with the oracle framing of the same data
+    assembled = sz.read_bytes()
     assert framing.decompress_framed(assembled) == data
 
-    # decompress side: the two hosts' output ranges tile the original
-    d0_base, d0_blob, d0_stats = pickle.loads((tmp_path / "dec_0.pkl").read_bytes())
-    d1_base, d1_blob, d1_stats = pickle.loads((tmp_path / "dec_1.pkl").read_bytes())
-    assert d0_base == 0 and d1_base == len(d0_blob)
-    assert d0_blob + d1_blob == data
-    assert d0_stats["gbs"] is not None and d1_stats["gbs"] is not None
+    stats = _run_cli(repo, "decompress", sz, dec)
+    assert sorted(s["host"] for s in stats) == [0, 1]
+    assert all(s["gbs"] is not None for s in stats)
+    assert dec.read_bytes() == data
