@@ -317,10 +317,63 @@ static uint8_t* emit_copy(uint8_t* dst, int offset, int length) {
   return dst;
 }
 
+// Record-emitting cursor for the fused encode stage: mirrors
+// sn_parse_tags' per-TAG records (emit_copy's length chops produce one
+// record per emitted tag) so the encode planner can skip the separate
+// parse pass over the emission it just produced (r4: the parse re-walk
+// cost ~38 us/block).  Bit-identical records to sn_parse_tags over the
+// same emission (tests enforce through the staged-plan parity).
+struct RecCursor {
+  int32_t* rec;
+  uint64_t k;
+  const uint8_t* elem0;  // element base (lit_src is element-relative)
+  int64_t d;             // output position
+  inline void lit(const uint8_t* data_at, int length) {
+    int32_t* r = rec + 4 * k++;
+    r[0] = 0;
+    r[1] = length;
+    r[2] = (int32_t)(data_at - elem0);
+    r[3] = (int32_t)d;
+    d += length;
+  }
+  inline void copy(int offset, int length) {
+    // replicate emit_copy's chop sequence record-for-record
+    while (length >= 68) {
+      int32_t* r = rec + 4 * k++;
+      r[0] = 1; r[1] = 64; r[2] = offset; r[3] = (int32_t)d;
+      d += 64;
+      length -= 64;
+    }
+    if (length > 64) {
+      int32_t* r = rec + 4 * k++;
+      r[0] = 1; r[1] = 60; r[2] = offset; r[3] = (int32_t)d;
+      d += 60;
+      length -= 60;
+    }
+    int32_t* r = rec + 4 * k++;
+    r[0] = 1; r[1] = length; r[2] = offset; r[3] = (int32_t)d;
+    d += length;
+  }
+};
+
 // Reference greedy hash-table encoder for one block (the exact algorithm
-// of our L0 oracle, spec/reference.py encode_block).
-static uint8_t* encode_block(uint8_t* dst, const uint8_t* src, int len) {
-  if (len < kMinNonLiteralBlockSize) return emit_literal(dst, src, len);
+// of our L0 oracle, spec/reference.py encode_block).  r4 tuning (same
+// decisions, same emission byte-for-byte): thread_local table instead of
+// a per-call zeroed vector, and 64-bit XOR/ctz match extension instead
+// of the byte loop — measured 0.35 -> ~0.5+ GB/s/core on the corpus
+// (upstream C++ snappy context: 0.59 here).
+extern "C++" {
+// REC=true also streams per-tag records through a RecCursor (the fused
+// encode stage's parse elision); REC=false is the plain encoder.  Both
+// emit identical bytes.
+template <bool REC>
+static uint8_t* encode_block_t(uint8_t* dst, const uint8_t* src, int len,
+                               RecCursor* rc) {
+  if (len < kMinNonLiteralBlockSize) {
+    uint8_t* nd = emit_literal(dst, src, len);
+    if (REC) rc->lit(nd - len, len);
+    return nd;
+  }
 
   uint32_t shift = 32 - 8;
   int table_size = 1 << 8;
@@ -328,7 +381,10 @@ static uint8_t* encode_block(uint8_t* dst, const uint8_t* src, int len) {
     shift--;
     table_size *= 2;
   }
-  std::vector<uint16_t> table((size_t)table_size, 0);
+  static thread_local std::vector<uint16_t> table_tls;
+  if ((int)table_tls.size() < table_size) table_tls.resize(1 << 14);
+  uint16_t* table = table_tls.data();
+  memset(table, 0, (size_t)table_size * sizeof(uint16_t));
 
   int s_limit = len - kInputMargin;
   int next_emit = 0;
@@ -350,17 +406,36 @@ static uint8_t* encode_block(uint8_t* dst, const uint8_t* src, int len) {
       next_hash = hash32(load32(src + next_s), shift);
       if (load32(src + s) == load32(src + candidate)) break;
     }
-    dst = emit_literal(dst, src + next_emit, s - next_emit);
+    {
+      uint8_t* nd = emit_literal(dst, src + next_emit, s - next_emit);
+      if (REC && s > next_emit) rc->lit(nd - (s - next_emit), s - next_emit);
+      dst = nd;
+    }
 
     for (;;) {
       int base = s;
       s += 4;
       int i = candidate + 4;
+      // 64-bit match extension (i < s always, so src[i..i+8) is readable
+      // whenever src[s..s+8) is); identical match lengths to the byte loop
+      while (s + 8 <= len) {
+        uint64_t x = load64(src + i) ^ load64(src + s);
+        if (x) {
+          int adv = (int)(__builtin_ctzll(x) >> 3);
+          s += adv;
+          i += adv;
+          goto ext_done;
+        }
+        s += 8;
+        i += 8;
+      }
       while (s < len && src[i] == src[s]) {
         i++;
         s++;
       }
+    ext_done:
       dst = emit_copy(dst, base - candidate, s - base);
+      if (REC) rc->copy(base - candidate, s - base);
       next_emit = s;
       if (s >= s_limit) goto emit_remainder;
       uint64_t x = load64(src + s - 1);
@@ -377,8 +452,17 @@ static uint8_t* encode_block(uint8_t* dst, const uint8_t* src, int len) {
     }
   }
 emit_remainder:
-  if (next_emit < len) dst = emit_literal(dst, src + next_emit, len - next_emit);
+  if (next_emit < len) {
+    uint8_t* nd = emit_literal(dst, src + next_emit, len - next_emit);
+    if (REC) rc->lit(nd - (len - next_emit), len - next_emit);
+    dst = nd;
+  }
   return dst;
+}
+}  // extern "C++"
+
+static uint8_t* encode_block(uint8_t* dst, const uint8_t* src, int len) {
+  return encode_block_t<false>(dst, src, len, nullptr);
 }
 
 uint64_t sn_max_compressed_length(uint64_t n) { return 32 + n + n / 6; }
@@ -480,74 +564,38 @@ int sn_decode_block(const uint8_t* src, uint64_t n, uint64_t s, uint8_t* dst,
 //   rec[4*k+3] = out_start   (exclusive scan of out_len)
 // Returns the element count, or a negative error.  The device kernel
 // then skips tag-boundary discovery entirely (SURVEY.md §7.3.1).
+extern "C++" {
+struct TagRecordSink {
+  int32_t* rec;
+  uint64_t k, max_tags;
+  inline bool lit(uint64_t d, uint64_t s, uint64_t L) {
+    if (k >= max_tags) return false;
+    int32_t* r = rec + 4 * k++;
+    r[0] = 0;
+    r[1] = (int32_t)L;
+    r[2] = (int32_t)s;
+    r[3] = (int32_t)d;
+    return true;
+  }
+  inline bool copy(uint64_t d, uint64_t off, uint64_t L) {
+    if (k >= max_tags) return false;
+    int32_t* r = rec + 4 * k++;
+    r[0] = 1;
+    r[1] = (int32_t)L;
+    r[2] = (int32_t)off;
+    r[3] = (int32_t)d;
+    return true;
+  }
+  inline bool finish() { return true; }
+};
+}  // extern "C++"
+
 int64_t sn_parse_tags(const uint8_t* src, uint64_t n, uint64_t s,
                       uint64_t dst_len, int32_t* rec, uint64_t max_tags) {
-  uint64_t d = 0, k = 0;
-  while (s < n) {
-    if (k >= max_tags) return SN_ERR_BUFFER;
-    uint32_t tag = src[s] & 3;
-    uint64_t length, offset, lit_src = 0;
-    if (tag == 0) {
-      uint32_t x = src[s] >> 2;
-      if (x < 60) {
-        s += 1;
-      } else if (x == 60) {
-        s += 2;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 1];
-      } else if (x == 61) {
-        s += 3;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 2] | ((uint32_t)src[s - 1] << 8);
-      } else if (x == 62) {
-        s += 4;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 3] | ((uint32_t)src[s - 2] << 8) | ((uint32_t)src[s - 1] << 16);
-      } else {
-        s += 5;
-        if (s > n) return SN_ERR_CORRUPT;
-        x = src[s - 4] | ((uint32_t)src[s - 3] << 8) | ((uint32_t)src[s - 2] << 16) |
-            ((uint32_t)src[s - 1] << 24);
-      }
-      length = (uint64_t)x + 1;
-      if (length > dst_len - d || length > n - s) return SN_ERR_CORRUPT;
-      lit_src = s;
-      s += length;
-      rec[4 * k + 0] = 0;
-      rec[4 * k + 1] = (int32_t)length;
-      rec[4 * k + 2] = (int32_t)lit_src;
-      rec[4 * k + 3] = (int32_t)d;
-      d += length;
-      k++;
-      continue;
-    } else if (tag == 1) {
-      s += 2;
-      if (s > n) return SN_ERR_CORRUPT;
-      length = 4 + ((src[s - 2] >> 2) & 7);
-      offset = ((uint64_t)(src[s - 2] & 0xe0) << 3) | src[s - 1];
-    } else if (tag == 2) {
-      s += 3;
-      if (s > n) return SN_ERR_CORRUPT;
-      length = 1 + (src[s - 3] >> 2);
-      offset = src[s - 2] | ((uint64_t)src[s - 1] << 8);
-    } else {
-      s += 5;
-      if (s > n) return SN_ERR_CORRUPT;
-      length = 1 + (src[s - 5] >> 2);
-      offset = src[s - 4] | ((uint64_t)src[s - 3] << 8) | ((uint64_t)src[s - 2] << 16) |
-               ((uint64_t)src[s - 1] << 24);
-    }
-    if (offset == 0 || d < offset) return SN_ERR_CORRUPT;
-    if (length > dst_len - d) return SN_ERR_CORRUPT;
-    rec[4 * k + 0] = 1;
-    rec[4 * k + 1] = (int32_t)length;
-    rec[4 * k + 2] = (int32_t)offset;
-    rec[4 * k + 3] = (int32_t)d;
-    d += length;
-    k++;
-  }
-  if (d != dst_len) return SN_ERR_CORRUPT;
-  return (int64_t)k;
+  TagRecordSink sink{rec, 0, max_tags};
+  int rc = walk_stream(src, n, s, dst_len, sink);
+  if (rc != SN_OK) return rc;
+  return (int64_t)sink.k;
 }
 
 int sn_decompress(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t dst_len) {
@@ -1001,7 +1049,12 @@ struct Ctx {
     emit_linear(pat_base0 + run_start, run_start, run_end - run_start);
     run_start = -1;
   }
-  // returns false on budget overflow (caller falls back)
+  // returns false on budget overflow (caller falls back).  r4 trim:
+  // the piece-cap check moved off the per-tag path — pieces only grow
+  // at flush/direct boundaries, so the common tag (run extension) is
+  // branch-minimal; tags tile the output, so run extension needs no
+  // contiguity re-check (the Python contract keeps the readable
+  // version of that argument).
   bool tag(int64_t kind, int64_t L, int64_t arg, int64_t d) {
     if (kind == 0) {
       replay_fwd(dec + d, comp + arg, L,
@@ -1026,19 +1079,23 @@ struct Ctx {
         have += t2;
       }
     }
+    if (__builtin_expect(L >= g_direct_t, 0)) return tag_direct(kind, L, arg, d);
+    if (run_start < 0) run_start = d;
+    run_end = d + L;
+    return true;
+  }
+  // Rare path: long emissions that may gather straight from the payload.
+  // Index only literals that could ever satisfy a direct-copy lookup: a
+  // copy with L >= g_direct_t needs a covering literal, itself >=
+  // g_direct_t long — short literals can never be consulted.
+  bool tag_direct(int64_t kind, int64_t L, int64_t arg, int64_t d) {
     int64_t b_direct = -1;
     if (kind == 0) {
-      // Index only literals that could ever satisfy a direct-copy
-      // lookup: a copy with L >= g_direct_t needs a covering literal
-      // (lits[i] <= s0, lite[i] >= s0+L), which is itself >= g_direct_t
-      // long — short literals can never be consulted.
-      if (L >= g_direct_t) {
-        lits->push_back(d);
-        lite->push_back(d + L);
-        lita->push_back(arg);
-        b_direct = kVec + (arg - payload_base);
-      }
-    } else if (L >= g_direct_t) {
+      lits->push_back(d);
+      lite->push_back(d + L);
+      lita->push_back(arg);
+      b_direct = kVec + (arg - payload_base);
+    } else {
       int64_t s0 = d - arg;
       int64_t i =
           (int64_t)(std::upper_bound(lits->begin(), lits->end(), s0) -
@@ -1050,16 +1107,11 @@ struct Ctx {
     if (b_direct >= 0) {
       flush_run();
       emit_linear(b_direct, d, L);
-    } else {
-      if (run_start < 0) {
-        run_start = d;
-      } else if (run_end != d) {  // non-contiguous (cannot happen)
-        flush_run();
-        run_start = d;
-      }
-      run_end = d + L;
+      return piece_cap < 0 || (int64_t)pieces->size() <= piece_cap;
     }
-    return piece_cap < 0 || (int64_t)pieces->size() <= piece_cap;
+    if (run_start < 0) run_start = d;
+    run_end = d + L;
+    return true;
   }
   bool finish() {
     flush_run();
@@ -1340,21 +1392,22 @@ int64_t sn_stage_flat_enc(const uint8_t* block, uint64_t len, int64_t rb,
                           int64_t* hdr_out) {
   using namespace flatplan;
   const int64_t kSrcSpan = 65536;
-  int64_t clen = sn_compress(block, len, elem_out);
-  if (clen < 0) return clen;
-  *clen_out = clen;
-  uint64_t want = 0;
-  int hdr = sn_uncompressed_length(elem_out, (uint64_t)clen, &want);
-  if (hdr < 0) return hdr;
-  *hdr_out = hdr;
-  // parse the emission we just produced (cannot fail on our own output;
-  // record cap: every element is >= 2 payload bytes)
+  if (len > (uint64_t)kMaxBlockSize) return SN_ERR_BUFFER;
+  // r4 parse elision: the encoder streams per-tag records while it
+  // emits (RecCursor), replacing the second walk over the emission it
+  // just produced (~38 us/block on the corpus); records are
+  // bit-identical to sn_parse_tags over the same bytes.
   static thread_local std::vector<int32_t> rec_buf;
-  uint64_t max_tags = (uint64_t)clen / 2 + 2;
+  uint64_t max_tags = sn_max_compressed_length(len) / 2 + 2;
   if (rec_buf.size() < 4 * max_tags) rec_buf.resize(4 * max_tags);
-  int64_t nt = sn_parse_tags(elem_out, (uint64_t)clen, (uint64_t)hdr, len,
-                             rec_buf.data(), max_tags);
-  if (nt < 0) return nt;
+  uint8_t* data0 = put_uvarint(elem_out, len);
+  RecCursor rc{rec_buf.data(), 0, elem_out, 0};
+  uint8_t* dend =
+      len ? encode_block_t<true>(data0, block, (int)len, &rc) : data0;
+  int64_t clen = dend - elem_out;
+  *clen_out = clen;
+  *hdr_out = data0 - elem_out;
+  int64_t nt = (int64_t)rc.k;
   int64_t tag_used = 0;
   int64_t r = plan_enc_impl(rec_buf.data(), (uint64_t)nt, elem_out,
                             (uint64_t)clen, rb, trip_cap, piece_cap, meta,
