@@ -46,7 +46,18 @@ def _run_cli(repo, command, infile, outfile, extra=()):
             p.kill()
             pytest.fail("multihost worker timed out")
         assert p.returncode == 0, err.decode()[-2000:]
-        stats.append(json.loads(out.decode().strip().splitlines()[-1]))
+        # Scan from the end for the stats JSON line — under a loaded
+        # machine, stray warnings can interleave with stdout.
+        for line in reversed(out.decode().strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    stats.append(json.loads(line))
+                    break
+                except json.JSONDecodeError:
+                    continue
+        else:
+            pytest.fail("no stats JSON line in worker stdout: %r" % out[-500:])
     return stats
 
 
