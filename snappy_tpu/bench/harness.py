@@ -620,8 +620,14 @@ def _system_path_bench(data: bytes, repeats: int,
 
     if not native.available():
         return {}
+    # flat engine mode (runtime default "id"; see device_codec.FLAT_MODE):
+    #   id       — host walk decodes straight into the staging panel;
+    #              device graph = row slice + MXU CRC (no plan at all)
+    #   classify — v2 trip plans through the gather/compose kernel
+    mode = os.environ.get("SNAPPY_TPU_FLAT_MODE", "id")
     B = batch or int(os.environ.get("SNAPPY_TPU_BENCH_SYSBATCH", "64"))
     BMAX, CMAX = 65536, 66560
+    ID_ROWS = 520
     sysbytes = sysbytes or int(
         os.environ.get("SNAPPY_TPU_BENCH_SYSBYTES", str(256 << 20)))
     n_batches = max(1, sysbytes // (B * BMAX))
@@ -692,22 +698,36 @@ def _system_path_bench(data: bytes, repeats: int,
     # Any violation is caught, not silent: the decode graph CRC-checks
     # every chunk on device and a nonzero err fails the phase.
     NSETS = 3
-    dec_sets = [
-        (np.empty((B, rb * 128), np.uint8),
-         np.empty((B, 8 * _F_TRIPS, 128), np.int32),
-         np.zeros((B, 8, 128), np.int32),
-         np.zeros(B, np.int32))
-        for _ in range(NSETS)
-    ]
-    enc_sets = [
-        (np.empty((B, _FE_RB * 128), np.uint8),
-         np.empty((B, 8 * _FE_TRIPS, 128), np.int32),
-         np.zeros((B, 8, 128), np.int32),
-         np.zeros(B, np.int32))
-        for _ in range(NSETS)
-    ]
+    if mode == "id":
+        dec_sets = [
+            (np.empty((B, ID_ROWS * 128), np.uint8),) for _ in range(NSETS)
+        ]
+        enc_sets = [tuple() for _ in range(NSETS)]
+    else:
+        dec_sets = [
+            (np.empty((B, rb * 128), np.uint8),
+             np.empty((B, 8 * _F_TRIPS, 128), np.int32),
+             np.zeros((B, 8, 128), np.int32),
+             np.zeros(B, np.int32))
+            for _ in range(NSETS)
+        ]
+        enc_sets = [
+            (np.empty((B, _FE_RB * 128), np.uint8),
+             np.empty((B, 8 * _FE_TRIPS, 128), np.int32),
+             np.zeros((B, 8, 128), np.int32),
+             np.zeros(B, np.int32))
+            for _ in range(NSETS)
+        ]
 
     def _stage_dec_batch(k, st):
+        if mode == "id":
+            # flat v3: validate + decode each element straight into its
+            # staging row — the whole host half of the decode path
+            bad = native.stage_flat_dec_id_batch(
+                ecat[k], eoffs[k], elens[k], hdrs64[k], dstl64, ID_ROWS,
+                st[0], rc64, n_threads=n_workers)
+            assert bad == 0, "corpus block failed id staging"
+            return st
         b_u8, fmeta, fst, ntr = st
         bad = native.stage_flat_dec_batch(
             ecat[k], eoffs[k], elens[k], hdrs64[k], dstl64, rb,
@@ -717,8 +737,17 @@ def _system_path_bench(data: bytes, repeats: int,
         return st
 
     def _stage_enc_batch(k, st):
-        b_u8, fmeta, fst, ntr = st
         blocks = blocks_np[k]
+        if mode == "id":
+            # flat v3: matcher + emission on host (threaded C++); the
+            # device graph CRCs the uncompressed blocks, so no host CRC
+            # and nothing to stage beyond the blocks themselves
+            bad = native.compress_batch(
+                blocks, blens64, elem_buf, clen64, hdr64, rc64,
+                n_threads=n_workers)
+            assert bad == 0, "native compressor rejected a block"
+            return st
+        b_u8, fmeta, fst, ntr = st
         bad = native.stage_flat_enc_batch(
             blocks, blens64, _FE_RB, fmeta, fst, b_u8, _FE_TAGR * 128,
             elem_buf, clen64, hdr64, rc64, n_threads=n_workers)
@@ -732,18 +761,21 @@ def _system_path_bench(data: bytes, repeats: int,
     # untimed: stage every batch once, trim to fixed shapes (one
     # compiled graph), and pre-put the device-resident plan copies
     # (the relay transfer the timed pass elides — see docstring)
-    t_dec = rb_dec = t_enc = rb_enc_u = 1
+    t_dec = t_enc = rb_enc_u = 1
+    rb_dec = ID_ROWS if mode == "id" else 1
     dec_staged = []
     enc_staged = []
     for k in range(n_batches):
         st = _stage_dec_batch(k, dec_sets[0])
-        tc, rbu = _flat_trim(st[3], st[2], rb, _F_TRIPS)
-        t_dec, rb_dec = max(t_dec, tc), max(rb_dec, rbu)
+        if mode != "id":
+            tc, rbu = _flat_trim(st[3], st[2], rb, _F_TRIPS)
+            t_dec, rb_dec = max(t_dec, tc), max(rb_dec, rbu)
         dec_staged.append(tuple(a.copy() for a in st))
         st = _stage_enc_batch(k, enc_sets[0])
-        tc, rbu = _flat_trim(st[3], st[2], _FE_RB, _FE_TRIPS)
-        t_enc, rb_enc_u = max(t_enc, tc), max(rb_enc_u, rbu)
-        enc_staged.append(tuple(a.copy() for a in st))
+        if mode != "id":
+            tc, rbu = _flat_trim(st[3], st[2], _FE_RB, _FE_TRIPS)
+            t_enc, rb_enc_u = max(t_enc, tc), max(rb_enc_u, rbu)
+            enc_staged.append(tuple(a.copy() for a in st))
 
     def _put_trim(st, rb_u, t_cap):
         b_u8, fmeta, fst, ntr = st
@@ -765,11 +797,28 @@ def _system_path_bench(data: bytes, repeats: int,
     _ = np.asarray(jax.jit(jnp.sum)(h))
     h2d_gbs = probe.nbytes / 1e9 / max(time.perf_counter() - t0, 1e-9)
 
-    dec_dev = [_put_trim(st, rb_dec, t_dec) for st in dec_staged]
-    enc_dev = [_put_trim(st, rb_enc_u, t_enc) for st in enc_staged]
+    if mode == "id":
+        dec_dev = [(jax.device_put(st[0]),) for st in dec_staged]
+        # enc id: the device side reads the uncompressed blocks (CRC)
+        enc_dev = [(jax.device_put(blocks_np[k]),)
+                   for k in range(n_batches)]
+    else:
+        dec_dev = [_put_trim(st, rb_dec, t_dec) for st in dec_staged]
+        enc_dev = [_put_trim(st, rb_enc_u, t_enc) for st in enc_staged]
     del dec_staged, enc_staged
 
     interp = interpret or jax.default_backend() != "tpu"
+
+    @jax.jit
+    def _dec_graph_id(b_u8, want_k, dlens_k):
+        out = b_u8.reshape(B, ID_ROWS, 128)[:, :512].reshape(B, 512 * 128)
+        crc = crc32c_chunks(out, dlens_k)
+        return jnp.sum((crc != want_k).astype(jnp.int32))
+
+    @jax.jit
+    def _enc_graph_id(blocks_k, dlens_k):
+        crc = crc32c_chunks(blocks_k, dlens_k)
+        return jnp.sum(crc.astype(jnp.int32) & 1)  # force the compute
 
     @functools.partial(jax.jit, static_argnames=("rb_u",))
     def _dec_graph(b_u8, meta, fst, ntr, want_k, dlens_k, *, rb_u):
@@ -792,8 +841,12 @@ def _system_path_bench(data: bytes, repeats: int,
         for k in range(n_batches):
             if plan_on_host:  # full production planning cost, pooled
                 _stage_dec_batch(k, dec_sets[k % NSETS])
-            hs.append(_dec_graph(*dec_dev[k], want_dev[k], dlens_dev,
-                                 rb_u=rb_dec))
+            if mode == "id":
+                hs.append(_dec_graph_id(*dec_dev[k], want_dev[k],
+                                        dlens_dev))
+            else:
+                hs.append(_dec_graph(*dec_dev[k], want_dev[k], dlens_dev,
+                                     rb_u=rb_dec))
         return int(np.asarray(combine(*hs)))
 
     def enc_pass(plan_on_host: bool = True):
@@ -801,7 +854,10 @@ def _system_path_bench(data: bytes, repeats: int,
         for k in range(n_batches):
             if plan_on_host:
                 _stage_enc_batch(k, enc_sets[k % NSETS])
-            hs.append(_enc_graph(*enc_dev[k], rb_u=rb_enc_u))
+            if mode == "id":
+                hs.append(_enc_graph_id(*enc_dev[k], dlens_dev))
+            else:
+                hs.append(_enc_graph(*enc_dev[k], rb_u=rb_enc_u))
         return int(np.asarray(combine(*hs)))
 
     def _plan_only(stage, sets):
@@ -810,12 +866,14 @@ def _system_path_bench(data: bytes, repeats: int,
             stage(k, sets[k % NSETS])
         return total / 1e9 / (time.perf_counter() - t0)
 
+    h2d_per_byte = (
+        (ID_ROWS * 128 + 4 + 4) / BMAX if mode == "id"
+        else (rb_dec * 128 + 8 * t_dec * 128 * 4 + 8 * 128 * 4 + 4) / BMAX)
     out: dict = {
         "system_bytes": total,
+        "system_flat_mode": mode,
         "system_h2d_gbs_measured": round(h2d_gbs, 4),
-        "system_h2d_bytes_per_out_byte": round(
-            (rb_dec * 128 + 8 * t_dec * 128 * 4 + 8 * 128 * 4 + 4)
-            / BMAX, 3),
+        "system_h2d_bytes_per_out_byte": round(h2d_per_byte, 3),
         "system_note": (
             "host planning (full production stage calls, pooled) "
             "overlapped with device execute + device CRC inside one "

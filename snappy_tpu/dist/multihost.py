@@ -158,10 +158,12 @@ def host_compress_framed(data_local: bytes, chunk_start: int,
 
     data_v = memoryview(data_local)
     bodies = []
-    for idx, chunk_len, blob in device_codec._encode_batches(data_local, chunk_size):
+    for idx, chunk_len, blob, crc in device_codec._encode_batches(
+            data_local, chunk_size):
         off = idx * chunk_size
         chunk = bytes(data_v[off : off + chunk_len])
-        checksum = mask_crc(device_codec._crc32c_host(chunk))
+        checksum = mask_crc(
+            crc if crc is not None else device_codec._crc32c_host(chunk))
         body = put_uvarint(chunk_len) + blob
         ctype = framed_chunk_type(chunk_len, len(body))
         if ctype == CHUNK_UNCOMPRESSED:

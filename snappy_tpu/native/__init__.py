@@ -203,6 +203,21 @@ def _load():
             ctypes.c_uint64, u8p, ctypes.c_int64, i64p, i64p, i64p,
             ctypes.c_int64,
         ]
+        lib.sn_stage_flat_dec_id.restype = ctypes.c_int
+        lib.sn_stage_flat_dec_id.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_int64, u8p,
+        ]
+        lib.sn_stage_flat_dec_id_batch.restype = ctypes.c_int64
+        lib.sn_stage_flat_dec_id_batch.argtypes = [
+            u8p, i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            u8p, i64p, ctypes.c_int64,
+        ]
+        lib.sn_compress_batch.restype = ctypes.c_int64
+        lib.sn_compress_batch.argtypes = [
+            u8p, ctypes.c_int64, i64p, ctypes.c_int64, u8p,
+            ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -323,6 +338,59 @@ def stage_flat_enc_batch(blocks: np.ndarray, lens: np.ndarray, rb: int,
     return int(lib.sn_stage_flat_enc_batch(
         _as_u8p(blocks), blocks.shape[1], _i64p(lens), B, rb, trip_cap,
         piece_cap, _i32p(meta), _i32p(starts), _as_u8p(b_rows), tag_cap,
+        _as_u8p(elem_out), elem_out.shape[1], _i64p(clens_out),
+        _i64p(hdrs_out), _i64p(rc_out), n_threads))
+
+
+def stage_flat_dec_id(element: np.ndarray, hdr: int, dst_len: int,
+                      rb: int, b_row: np.ndarray) -> None:
+    """Identity decode STAGE (flat v3): validate + decode the element
+    directly into b_row[:dst_len] (tail + guard zeroed).  The device
+    graph needs no plan — it slices rows [0, 512) and CRCs.  Raises on
+    corrupt streams (same walk validation as the host decoder)."""
+    lib = _load()
+    rc = lib.sn_stage_flat_dec_id(
+        _as_u8p(element), element.shape[0], hdr, dst_len, rb,
+        _as_u8p(b_row))
+    if rc != SN_OK:
+        _raise(int(rc))
+
+
+def stage_flat_dec_id_batch(elems_buf: np.ndarray, offs: np.ndarray,
+                            lens: np.ndarray, hdrs: np.ndarray,
+                            dst_lens: np.ndarray, rb: int,
+                            b_rows: np.ndarray, rc_out: np.ndarray,
+                            n_threads: int = 4) -> int:
+    """Whole-batch identity decode STAGE with C++ worker threads: each
+    row is validated + decoded straight into its staging row at pure
+    walk_stream speed (no records, no classify, no pack, no payload
+    copy).  rc_out[i] gets SN_OK or the row's negative error (always
+    CORRUPT-class: id staging has no caps).  Returns the number of
+    negative rows."""
+    lib = _load()
+    B = rc_out.shape[0]
+    for a in (offs, lens, hdrs, dst_lens, rc_out):
+        assert a.dtype == np.int64 and a.flags.c_contiguous
+    return int(lib.sn_stage_flat_dec_id_batch(
+        _as_u8p(elems_buf), _i64p(offs), _i64p(lens), _i64p(hdrs),
+        _i64p(dst_lens), B, rb, _as_u8p(b_rows), _i64p(rc_out),
+        n_threads))
+
+
+def compress_batch(blocks: np.ndarray, lens: np.ndarray,
+                   elem_out: np.ndarray, clens_out: np.ndarray,
+                   hdrs_out: np.ndarray, rc_out: np.ndarray,
+                   n_threads: int = 4) -> int:
+    """Threaded block compressor (encode half of flat v3): per-row full
+    elements into elem_out rows with clen/hdr per row.  The device's
+    encode-side job in v3 is the chunk CRC over the uncompressed
+    blocks; the emission stays host-side.  Returns negative-row count."""
+    lib = _load()
+    B = rc_out.shape[0]
+    for a in (lens, clens_out, hdrs_out, rc_out):
+        assert a.dtype == np.int64 and a.flags.c_contiguous
+    return int(lib.sn_compress_batch(
+        _as_u8p(blocks), blocks.shape[1], _i64p(lens), B,
         _as_u8p(elem_out), elem_out.shape[1], _i64p(clens_out),
         _i64p(hdrs_out), _i64p(rc_out), n_threads))
 

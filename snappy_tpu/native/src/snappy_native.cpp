@@ -1627,6 +1627,116 @@ int64_t sn_stage_flat_dec_batch(
   return bad;
 }
 
+// Identity STAGE (flat v3, "mirror-only"): the validating walk decodes
+// the element DIRECTLY into the staging row — no tag records, no
+// classify, no pack, no payload copy.  The device side needs no plan:
+// the staged row IS the output image (bytes [0, 64Ki) of a 520-row
+// panel; the 8 guard rows absorb the wide-copy slop), so the
+// production decode graph is a row slice + the fused MXU CRC.
+// Rationale (docs/architecture.md): on the measured corpus the
+// classify planner's pieces are rot-0 identity gathers for ~all bytes
+// — the gather/compose trips re-assembled bytes the host replay had
+// already resolved, while the parse/classify/pack machinery cost ~40%
+// of the stage on top of the irreducible LZ walk.  v3 stages at pure
+// walk_stream speed and ships 1.016 B per output byte; the general
+// trip kernel remains the engine for raw segments, encode emission,
+// and FLAT_MODE=classify.
+// Returns SN_OK or SN_ERR_CORRUPT (id staging has no caps to overflow;
+// SN_ERR_BUFFER only for a caller rb too small for image + slop).
+int sn_stage_flat_dec_id(const uint8_t* src, uint64_t n, uint64_t s,
+                         uint64_t dst_len, int64_t rb, uint8_t* b_row) {
+  using flatplan::kPatRows;
+  using flatplan::kVec;
+  const int64_t cap = rb * (int64_t)kVec;
+  if ((int64_t)dst_len > (int64_t)kPatRows * kVec) return SN_ERR_BUFFER;
+  if (cap < (int64_t)kPatRows * kVec + 32) return SN_ERR_BUFFER;
+  DecodeSink sink{b_row, src, (uint64_t)cap, n};
+  int rc = walk_stream(src, n, s, dst_len, sink);
+  if (rc != SN_OK) return rc;
+  // zero the tail (short blocks) + slop/guard rows: every byte the
+  // device graph slices (rows [0, 512)) is stager-written, and the
+  // DMA'd guard rows are deterministic
+  memset(b_row + dst_len, 0, (size_t)(cap - (int64_t)dst_len));
+  return SN_OK;
+}
+
+int64_t sn_stage_flat_dec_id_batch(
+    const uint8_t* elems, const int64_t* offs, const int64_t* lens,
+    const int64_t* hdrs, const int64_t* dst_lens, int64_t B, int64_t rb,
+    uint8_t* b_rows, int64_t* rc_out, int64_t n_threads) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= B) return;
+      rc_out[i] = sn_stage_flat_dec_id(
+          elems + offs[i], (uint64_t)lens[i], (uint64_t)hdrs[i],
+          (uint64_t)dst_lens[i], rb, b_rows + i * rb * 128);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; t++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  int64_t bad = 0;
+  for (int64_t i = 0; i < B; i++)
+    if (rc_out[i] < 0) bad++;
+  return bad;
+}
+
+// Threaded block compressor (the encode half of flat v3): per-row full
+// elements at elem_out + i*elem_cap, clen/hdr per row.  The device's
+// encode-side job in v3 is the chunk CRC-32C (MXU GF(2) kernel) over
+// the uncompressed blocks — the emission stays host-side, so nothing
+// else needs staging.  rc_out rows: SN_OK or the row's SN_ERR_*.
+int64_t sn_compress_batch(const uint8_t* blocks, int64_t block_stride,
+                          const int64_t* lens, int64_t B,
+                          uint8_t* elem_out, int64_t elem_cap,
+                          int64_t* clens_out, int64_t* hdrs_out,
+                          int64_t* rc_out, int64_t n_threads) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= B) return;
+      uint8_t* dst = elem_out + i * elem_cap;
+      if ((int64_t)sn_max_compressed_length((uint64_t)lens[i]) > elem_cap) {
+        rc_out[i] = SN_ERR_BUFFER;
+        continue;
+      }
+      int64_t clen = sn_compress(blocks + i * block_stride,
+                                 (uint64_t)lens[i], dst);
+      if (clen < 0) {
+        rc_out[i] = clen;
+        continue;
+      }
+      uint64_t want = 0;
+      int hdr = sn_uncompressed_length(dst, (uint64_t)clen, &want);
+      if (hdr < 0) {
+        rc_out[i] = hdr;
+        continue;
+      }
+      clens_out[i] = clen;
+      hdrs_out[i] = hdr;
+      rc_out[i] = SN_OK;
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; t++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  int64_t bad = 0;
+  for (int64_t i = 0; i < B; i++)
+    if (rc_out[i] < 0) bad++;
+  return bad;
+}
+
 // Encode twin: blocks at fixed stride block_stride; per-row full
 // elements land at elem_out + i*elem_cap with clen/hdr in
 // clens_out/hdrs_out (negative rc rows: elem_out holds the host

@@ -31,6 +31,7 @@ from snappy_tpu.errors import (
     BadMagicError,
     ChecksumError,
     CorruptError,
+    SnappyError,
     TooLargeError,
     UnsupportedError,
 )
@@ -132,6 +133,21 @@ def _pallas_enabled() -> bool:
 # (docs/performance.md).  Off → hybrid host-parse path.
 FLAT = os.environ.get("SNAPPY_TPU_FLAT", "1") != "0"
 
+# Flat engine mode (round 4, docs/architecture.md):
+#   "id"       (default) v3 identity staging — the host walk decodes
+#              each chunk DIRECTLY into the staging panel (pure
+#              walk_stream speed: no tag records, no classify, no trip
+#              pack, no payload copy) and the device graph is a row
+#              slice + the fused MXU CRC.  Measured r4: the classify
+#              planner's pieces were rot-0 identity gathers for ~all
+#              corpus bytes, so its gather/compose trips re-assembled
+#              bytes the host replay had already resolved while its
+#              plan machinery cost ~35% extra host time and ~2x H2D.
+#   "classify" v2 trip plans (direct payload gathers + mirror runs);
+#              remains the engine for raw segments and encode replay.
+FLAT_MODE = os.environ.get("SNAPPY_TPU_FLAT_MODE", "id")
+_ID_ROWS = 520  # 512 image rows + 8 guard rows (wide-copy slop)
+
 # Device-match encode engine (kernels/pallas_match + sn_emit_from_cands):
 # the CHIP finds the match candidates (sort-based, collision-free); the
 # host extends lengths and emits.  Opt-in — its on-chip search is the
@@ -216,6 +232,18 @@ def _flat_trim(ntr: np.ndarray, starts: np.ndarray, rb: int,
     return t_cap, rb_u
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _decode_id_and_crc(b_u8, dlens, want_crc):
+    """Flat v3 (identity) decode graph: the staged panel IS the output
+    image — slice its 512 image rows (one fused XLA pass) and verify
+    per-chunk CRC-32C on the MXU (err 0 ok / 100 checksum)."""
+    nb = b_u8.shape[0]
+    out = b_u8.reshape(nb, _ID_ROWS, 128)[:, :512].reshape(nb, 512 * 128)
+    crc = crc32c_chunks(out, dlens)
+    err = jnp.where(crc != want_crc, jnp.int32(100), jnp.int32(0))
+    return out, err
+
+
 @functools.partial(jax.jit, static_argnames=("out_max",))
 def _decode_flat_and_crc(b_u8, meta, fstarts, ntrips, dlens, want_crc,
                          out_max: int):
@@ -260,8 +288,11 @@ def _oracle_block(block: bytes) -> bytes:
 # encode
 
 def _encode_batches(data: bytes | memoryview, chunk_size: int):
-    """Yield (chunk_index, chunk_len, element_bytes) for every chunk of
-    data, running the device encoder over padded batches.
+    """Yield (chunk_index, chunk_len, element_bytes, crc_or_None) for
+    every chunk of data, running the device encoder over padded
+    batches.  crc is the raw (unmasked) CRC-32C of the uncompressed
+    chunk when the engine computed it on device (flat v3), else None
+    (the caller CRCs on host).
 
     Two-phase: dispatch every batch first (device queues are deep and
     dispatch is asynchronous), then fetch results.  Fetches are trimmed
@@ -280,6 +311,15 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
     # emission is replayed on device byte-for-byte, so the ratio bound
     # is structural and RATIO_GUARD's duplicate host encode is free)
     use_flat_enc = FLAT and _pallas_enabled() and _native.available()
+    # flat v3 (mode "id"): the division of labour flips — the matcher
+    # and emission stay host-side (threaded C++), and the device's job
+    # is the per-chunk CRC-32C of the UNCOMPRESSED blocks on the MXU
+    # (the half of compress_framed the chip is actually fast at; the
+    # emission replay of mode "classify" re-uploaded the block + tag
+    # panel only to receive bytes the matcher had already written).
+    # Needs 64 KiB rows (crc32c_chunks' fixed width).
+    use_enc_id = (use_flat_enc and FLAT_MODE == "id"
+                  and bmax == MAX_CHUNK_UNCOMPRESSED)
     # device-match engine (opt-in): the chip runs the candidate search
     use_devmatch = DEVMATCH and _native.available()
     handles = []
@@ -297,6 +337,30 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             chunk = data[off : off + chunk_size]
             arr[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
             lens[i] = len(chunk)
+        if use_enc_id and not use_devmatch:
+            # dispatch the device CRC first (async), then run the host
+            # matcher while the chip checksums the same blocks
+            crc_h = crc32c_chunks(arr, lens)
+            lens64 = lens[:cnt].astype(np.int64)
+            clens64 = np.zeros(cnt, np.int64)
+            hdrs64 = np.zeros(cnt, np.int64)
+            rc64 = np.zeros(cnt, np.int64)
+            elem_buf = _enc_elem_batch(cnt)
+            bad = _native.compress_batch(
+                arr[:cnt], lens64, elem_buf[:cnt], clens64, hdrs64,
+                rc64, n_threads=min(4, os.cpu_count() or 1))
+            if bad:  # pragma: no cover - sn_compress cannot fail here
+                raise SnappyError("native compressor rejected a block")
+            # materialize per-chunk blobs now: elem_buf is shared
+            # across batches (this IS the final assembly work anyway)
+            blobs = [
+                elem_buf[i, int(hdrs64[i]):int(clens64[i])].tobytes()
+                for i in range(cnt)
+            ]
+            handles.append(("hostenc", (crc_h, blobs, None)))
+            counts.append(cnt)
+            lens_all.append(lens)
+            continue
         if use_devmatch:
             from snappy_tpu.kernels import pallas_match
 
@@ -368,13 +432,23 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
     # outputs for every batch before consuming any (devmatch fetches
     # its whole candidate image — still 4x smaller than re-upload)
     for engine, (comp, clen, ok) in handles:
-        targets = (comp, clen, ok) if engine == "devmatch" else (clen, ok)
+        if engine == "devmatch":
+            targets = (comp, clen, ok)
+        elif engine == "hostenc":
+            targets = (comp,)  # the device CRC vector
+        else:
+            targets = (clen, ok)
         for h in targets:
             if hasattr(h, "copy_to_host_async"):
                 h.copy_to_host_async()
     for bi, (engine, (comp, clen, ok)) in enumerate(handles):
         base = bi * BATCH
         cnt = counts[bi]
+        if engine == "hostenc":
+            crc_np = np.asarray(comp)
+            for i, blob in enumerate(clen):  # clen slot carries blobs
+                yield base + i, int(lens_all[bi][i]), blob, int(crc_np[i])
+            continue
         if engine == "devmatch":
             # fetch sorted pairs, scatter home, emit on the host pool;
             # the guard makes the per-input ratio bound structural
@@ -394,7 +468,7 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
                 return i, blk, body
 
             for i, blk, body in _plan_pool().map(_emit_row, range(cnt)):
-                yield base + i, len(blk), body
+                yield base + i, len(blk), body, None
             continue
         clen_h = np.asarray(clen)[:cnt]
         ok_h = np.asarray(ok)[:cnt] if ok is not None else np.ones(cnt, bool)
@@ -421,7 +495,7 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
                 ref = _oracle_block(bytes(data[off : off + chunk_size]))
                 if len(ref) < len(blob):  # pragma: no cover - never observed
                     blob = ref
-            yield idx, int(lens_all[bi][i]), blob
+            yield idx, int(lens_all[bi][i]), blob, None
 
 
 def compress(data: bytes) -> bytes:
@@ -429,7 +503,7 @@ def compress(data: bytes) -> bytes:
     if len(data) > MAX_UNCOMPRESSED_LEN:
         raise TooLargeError(len(data))
     out = bytearray(put_uvarint(len(data)))
-    for _, _, blob in _encode_batches(data, MAX_BLOCK_SIZE):
+    for _, _, blob, _crc in _encode_batches(data, MAX_BLOCK_SIZE):
         out += blob
     return bytes(out)
 
@@ -440,10 +514,12 @@ def compress_framed(data: bytes, chunk_size: int = MAX_CHUNK_UNCOMPRESSED) -> by
         raise ValueError(f"chunk_size must be in (0, 65536], got {chunk_size}")
     data_v = memoryview(data)
     out = bytearray(STREAM_ID_CHUNK)
-    for idx, chunk_len, blob in _encode_batches(data, chunk_size):
+    for idx, chunk_len, blob, crc in _encode_batches(data, chunk_size):
         off = idx * chunk_size
         chunk = data_v[off : off + chunk_len]
-        checksum = mask_crc(_crc32c_host(chunk))
+        # flat v3 computes the chunk CRC on device (MXU GF(2) kernel);
+        # other engines leave it to the host
+        checksum = mask_crc(crc if crc is not None else _crc32c_host(chunk))
         body = put_uvarint(chunk_len) + blob
         chunk_type = framed_chunk_type(chunk_len, len(body))
         if chunk_type == CHUNK_UNCOMPRESSED:
@@ -597,21 +673,46 @@ def decode_chunk_range(src_arr, chunks, dst_offs, out, subset,
                 if batch_kmax <= bucket:
                     cmax = bucket
                     break
-            arr = np.zeros((BATCH, cmax), dtype=np.uint8)
-            starts = np.zeros(BATCH, dtype=np.int32)
-            clens = np.zeros(BATCH, dtype=np.int32)
             dlens = np.zeros(BATCH, dtype=np.int32)
             want = np.zeros(BATCH, dtype=np.uint32)
             for row, i in enumerate(grp):
                 _, p_off, p_len, crc, dst_len, hdr = chunks[i]
                 if p_len > cmax:
                     raise CorruptError("compressed chunk implausibly large")
-                arr[row, :p_len] = src_arr[p_off : p_off + p_len]
-                starts[row] = hdr
-                clens[row] = p_len
                 dlens[row] = dst_len
                 want[row] = unmask_crc(crc)
-            if use_flat:
+            if not use_flat:
+                # the flat engines read payloads from src_arr directly;
+                # only the jnp/hybrid paths need the padded copy
+                arr = np.zeros((BATCH, cmax), dtype=np.uint8)
+                starts = np.zeros(BATCH, dtype=np.int32)
+                clens = np.zeros(BATCH, dtype=np.int32)
+                for row, i in enumerate(grp):
+                    _, p_off, p_len, _crc, _dst_len, hdr = chunks[i]
+                    arr[row, :p_len] = src_arr[p_off : p_off + p_len]
+                    starts[row] = hdr
+                    clens[row] = p_len
+            if use_flat and FLAT_MODE == "id":
+                # flat v3: host walk decodes each chunk straight into
+                # its staging row (no records/classify/pack); device =
+                # row slice + MXU CRC.  Id staging has no plan caps, so
+                # the only negative rc is a corrupt stream.
+                ng = len(grp)
+                b_u8 = np.empty((BATCH, _ID_ROWS * 128), dtype=np.uint8)
+                offs64 = np.array([chunks[i][1] for i in grp], np.int64)
+                lens64 = np.array([chunks[i][2] for i in grp], np.int64)
+                hdrs64 = np.array([chunks[i][5] for i in grp], np.int64)
+                dstl64 = np.array([chunks[i][4] for i in grp], np.int64)
+                rc64 = np.zeros(ng, np.int64)
+                bad = _native.stage_flat_dec_id_batch(
+                    src_arr, offs64, lens64, hdrs64, dstl64, _ID_ROWS,
+                    b_u8[:ng], rc64,
+                    n_threads=min(4, os.cpu_count() or 1))
+                if bad:
+                    raise CorruptError("invalid chunk payload (flat stage)")
+                handles.append(
+                    ("flat", _decode_id_and_crc(b_u8, dlens, want), None))
+            elif use_flat:
                 from snappy_tpu.kernels.decode_flat import (
                     TRIP_CAP as _F_TRIPS,
                     rows_b_for,
