@@ -33,6 +33,9 @@ __all__ = [
     "sharded_decode",
     "sharded_decode_flat",
     "sharded_encode_flat",
+    "sharded_decode_id",
+    "sharded_crc",
+    "stage_dec_id_batch",
     "roundtrip_step",
 ]
 
@@ -267,6 +270,84 @@ def sharded_encode_flat(
             check_vma=False,
         ))(*arrs)
     return np.asarray(out)[:b]
+
+
+_ID_ROWS = 520  # flat v3 staging panel (512 image rows + slop guard)
+
+
+def stage_dec_id_batch(elems: list[bytes]):
+    """Host half of flat v3 ("id") for a block batch: each element is
+    validated + decoded straight into its staging row
+    (native.stage_flat_dec_id).  Returns (b_u8, dst_lens, want_crc);
+    in production the expected CRC rides the chunk header — here it is
+    computed from the staged image for the dry-run assertion."""
+    from snappy_tpu import native
+    from snappy_tpu.spec.format import read_uvarint
+
+    B = len(elems)
+    b_u8 = np.zeros((B, _ID_ROWS * 128), np.uint8)
+    dst_lens = np.zeros(B, np.int32)
+    want = np.zeros(B, np.uint32)
+    for i, e in enumerate(elems):
+        dlen, hdr = read_uvarint(e, 0)
+        native.stage_flat_dec_id(
+            np.frombuffer(e, np.uint8), hdr, dlen, _ID_ROWS, b_u8[i])
+        dst_lens[i] = dlen
+        want[i] = native.crc32c_arr(b_u8[i, :dlen])
+    return b_u8, dst_lens, want
+
+
+def sharded_decode_id(
+    mesh: Mesh,
+    b_u8: np.ndarray,
+    dst_lens: np.ndarray,
+    want_crc: np.ndarray,
+):
+    """PRODUCTION flat v3 decode data-parallel over the mesh: each
+    device slices its staged rows' 512-row output image and verifies
+    per-chunk CRC-32C on the MXU — zero collectives (chunk
+    independence, SURVEY.md §7.4).  Padding rows carry dst_len 0 and
+    are CRC-exempt.  Returns host (out[B, 65536], err[B]) where err
+    100 = device CRC mismatch."""
+    from snappy_tpu.kernels.crc32c_jnp import crc32c_chunks
+
+    (b_u8, dst_lens, want_crc), b = _pad_to_mesh(
+        mesh, b_u8, dst_lens, want_crc
+    )
+    arrs = _shard_batch(mesh, b_u8, dst_lens, want_crc)
+
+    def _local(rows, dlens, want):
+        nb = rows.shape[0]
+        out = rows.reshape(nb, _ID_ROWS, 128)[:, :512].reshape(
+            nb, 512 * 128)
+        crc = crc32c_chunks(out, dlens)
+        err = jnp.where((crc != want) & (dlens > 0), jnp.int32(100),
+                        jnp.int32(0))
+        return out, err
+
+    with mesh:
+        out, err = jax.jit(jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P("d"), P("d"), P("d")),
+            out_specs=(P("d"), P("d")),
+        ))(*arrs)
+    return np.asarray(out)[:b], np.asarray(err)[:b]
+
+
+def sharded_crc(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray):
+    """Encode-side device work of flat v3: per-chunk CRC-32C of the
+    uncompressed blocks (uint8[B, 65536]) over the mesh, zero
+    collectives.  Returns host uint32[B]."""
+    from snappy_tpu.kernels.crc32c_jnp import crc32c_chunks
+
+    (blocks, lens), b = _pad_to_mesh(mesh, blocks, lens)
+    arrs = _shard_batch(mesh, blocks, lens)
+    with mesh:
+        crc = jax.jit(jax.shard_map(
+            lambda bl, ln: crc32c_chunks(bl, ln), mesh=mesh,
+            in_specs=(P("d"), P("d")), out_specs=P("d"),
+        ))(*arrs)
+    return np.asarray(crc)[:b]
 
 
 def sharded_match(

@@ -137,3 +137,38 @@ def test_sharded_flat_decode_crc_flags_corruption(rng, mesh8):
     )
     assert err[3] == 100
     assert (np.delete(err, 3) == 0).all()
+
+
+def test_sharded_id_decode_and_enc_crc(rng, mesh8):
+    """Flat v3 over the mesh: each device slices its staged image +
+    verifies CRC (decode), and CRCs the raw blocks (encode side) —
+    bit-exact vs the host, and identical on 1 vs 8 devices."""
+    from snappy_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    bmax = 4096
+    blocks, lens = _mk_batch(rng, 12, bmax)  # 12: not a mesh multiple
+    raw = [blocks[i, : lens[i]].tobytes() for i in range(12)]
+    elems = [native.compress(b) for b in raw]
+
+    ib, idlens, iwant = dmesh.stage_dec_id_batch(elems)
+    out8, err8 = dmesh.sharded_decode_id(mesh8, ib, idlens, iwant)
+    assert (err8 == 0).all()
+    mesh1 = dmesh.make_mesh(1)
+    out1, err1 = dmesh.sharded_decode_id(mesh1, ib, idlens, iwant)
+    assert (out8 == out1).all() and (err1 == 0).all()
+    for i, b in enumerate(raw):
+        assert out8[i, : len(b)].tobytes() == b
+
+    # a flipped staged byte must flag err 100 on its row only
+    ib_bad = ib.copy()
+    ib_bad[3, 100] ^= 0xFF
+    _, errb = dmesh.sharded_decode_id(mesh8, ib_bad, idlens, iwant)
+    assert errb[3] == 100 and (np.delete(errb, 3) == 0).all()
+
+    blocks64 = np.zeros((12, 65536), np.uint8)
+    blocks64[:, :bmax] = blocks
+    crcs = dmesh.sharded_crc(mesh8, blocks64, lens)
+    for i, b in enumerate(raw):
+        assert int(crcs[i]) == native.crc32c(b)
