@@ -158,7 +158,21 @@ _ID_ROWS = 520  # 512 image rows + 8 guard rows (wide-copy slop)
 # bound structural (aggregate, the device candidates are ~4% SMALLER;
 # the guard exists for the ~1-in-7 blocks a few bytes over).
 DEVMATCH = os.environ.get("SNAPPY_TPU_DEVMATCH", "0") == "1"
-DEVMATCH_GUARD = os.environ.get("SNAPPY_TPU_DEVMATCH_GUARD", "1") != "0"
+# Guard modes (SNAPPY_TPU_DEVMATCH_GUARD):
+#   "1" (default)  every block's emission compared against the
+#                  reference encoder, smaller wins — the per-input
+#                  ratio bound (BASELINE) stays structural; costs one
+#                  host encode per block (~107 us).
+#   "sample"       1-in-16 blocks guarded (VERDICT r3 #2's cheaper
+#                  guard): ~6% of the guard cost, keeps a running
+#                  statistical check that the aggregate stays below
+#                  reference, but individual unguarded blocks may
+#                  exceed it by a few bytes — choose this only when
+#                  the aggregate bound is the requirement.
+#   "0"            off (pure device-candidate throughput).
+DEVMATCH_GUARD = os.environ.get("SNAPPY_TPU_DEVMATCH_GUARD", "1")
+if DEVMATCH_GUARD not in ("0", "1", "sample"):
+    DEVMATCH_GUARD = "1"
 
 # Host planning pool: per-row plans are independent and the native
 # calls release the GIL; 4 workers roughly match the planner's
@@ -461,7 +475,9 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
                 off = (_base + i) * chunk_size
                 blk = bytes(data[off : off + chunk_size])
                 body = _native.emit_from_cands(blk, _packed[i])
-                if DEVMATCH_GUARD:
+                guard = DEVMATCH_GUARD == "1" or (
+                    DEVMATCH_GUARD == "sample" and (_base + i) % 16 == 0)
+                if guard:
                     ref = _oracle_block(blk)
                     if len(ref) < len(body):
                         body = ref

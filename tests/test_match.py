@@ -205,7 +205,7 @@ def test_devmatch_engine_roundtrip_and_guard(monkeypatch):
     assert len(fr_guarded) < len(data)  # the guard rescued the ratio
 
     # guard OFF: the (bad) devmatch emission ships as-is
-    monkeypatch.setattr(device_codec, "DEVMATCH_GUARD", False)
+    monkeypatch.setattr(device_codec, "DEVMATCH_GUARD", "0")
     fr_raw = device_codec.compress_framed(data, chunk_size=2048)
     assert device_codec.decompress_framed(fr_raw) == data
     assert len(fr_raw) > len(fr_guarded)
