@@ -8,8 +8,10 @@ Layers (SURVEY.md §7.1):
   native/   L7 C++ host codec + hardware CRC-32C (ctypes bindings)
   cli/      L5 `tpusnappy` command-line tool
 
-Public API (L4): compress / decompress (raw block format) and
-compress_framed / decompress_framed (.sz framed format).
+Public API (L4): compress / decompress (raw block format),
+compress_framed / decompress_framed (.sz framed format), and the
+device-resident decode pair decompress_to_device /
+decompress_framed_to_device (decode-to-HBM data loading).
 """
 
 from snappy_tpu.errors import (
@@ -34,6 +36,8 @@ __all__ = [
     "decompress",
     "compress_framed",
     "decompress_framed",
+    "decompress_to_device",
+    "decompress_framed_to_device",
     "__version__",
 ]
 
@@ -41,7 +45,9 @@ __all__ = [
 def __getattr__(name):
     # Lazy imports keep `import snappy_tpu` cheap and jax-free until a
     # codec entry point is actually used.
-    if name in ("compress", "decompress", "compress_framed", "decompress_framed"):
+    if name in ("compress", "decompress", "compress_framed",
+                "decompress_framed", "decompress_to_device",
+                "decompress_framed_to_device"):
         from snappy_tpu import api
 
         return getattr(api, name)

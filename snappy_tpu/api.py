@@ -114,3 +114,21 @@ def compress_framed(data: bytes, *, backend: str | None = None) -> bytes:
 def decompress_framed(data: bytes, *, backend: str | None = None) -> bytes:
     """Decompress a framed (.sz) stream."""
     return _resolve("decompress_framed", backend)(data)
+
+
+def decompress_to_device(data: bytes):
+    """Decompress a raw Snappy stream to a DEVICE-RESIDENT uint8
+    jax.Array (the decode-to-HBM data-loader path: H2D carries exactly
+    the decompressed bytes, nothing crosses back to the host)."""
+    from snappy_tpu.runtime import device_codec
+
+    return device_codec.decompress_to_device(data)
+
+
+def decompress_framed_to_device(data: bytes, verify_checksums: bool = True):
+    """Decompress a framed (.sz) stream to a DEVICE-RESIDENT uint8
+    jax.Array, per-chunk CRC-32C verified on the MXU where the bytes
+    land; only the tiny err vector returns to the host."""
+    from snappy_tpu.runtime import device_codec
+
+    return device_codec.decompress_framed_to_device(data, verify_checksums)

@@ -213,6 +213,11 @@ def _load():
             u8p, i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
             u8p, i64p, ctypes.c_int64,
         ]
+        lib.sn_stage_flat_dec_id_seg.restype = ctypes.c_int
+        lib.sn_stage_flat_dec_id_seg.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, i64p, u8p,
+            ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
         lib.sn_compress_batch.restype = ctypes.c_int64
         lib.sn_compress_batch.argtypes = [
             u8p, ctypes.c_int64, i64p, ctypes.c_int64, u8p,
@@ -318,6 +323,28 @@ def stage_flat_dec_seg(element: np.ndarray, dst_total: int,
     if rc < 0:
         _raise(int(rc))
     return int(rc)
+
+
+def stage_flat_dec_id_seg(element: np.ndarray, dst_total: int,
+                          state: np.ndarray, img: np.ndarray,
+                          seg_len: int, rb: int,
+                          b_row: np.ndarray) -> bool:
+    """Identity seg STAGE (see sn_stage_flat_dec_id_seg): the resume
+    walk decodes ``seg_len`` output bytes straight into ``b_row`` (tail
+    zeroed) — no plan, the staged row IS the output segment.  Same
+    state/img carry contract as stage_flat_dec_seg.  Returns True, or
+    False when a >64 KiB copy offset forces the host fallback; raises
+    on corrupt streams."""
+    lib = _load()
+    assert state.dtype == np.int64 and state.shape == (6,)
+    rc = lib.sn_stage_flat_dec_id_seg(
+        _as_u8p(element), element.shape[0], dst_total, _i64p(state),
+        _as_u8p(img), seg_len, rb, _as_u8p(b_row))
+    if rc == -5:
+        return False
+    if rc < 0:
+        _raise(int(rc))
+    return True
 
 
 def stage_flat_enc_batch(blocks: np.ndarray, lens: np.ndarray, rb: int,

@@ -991,6 +991,57 @@ namespace flatplan {
 // output image (dec == pat region, mirror[j] = out[j]) at a
 // 128-aligned B base, so run pieces are emitted in place with no
 // memcpy, no phase pads, and no capacity failure, all rot 0.
+// Wide replay copies: unconditional 32-byte chunks with slop.  Bytes
+// written past d+L stay inside the allocation (guarded by the callers'
+// dec_cap/comp_len margins) and are either overwritten by a later tag
+// or never gathered by any piece — only [0, dst_len) of the image is
+// plan-addressed.  Tail tags without margin take the exact-length
+// memcpy path.
+static inline void replay_fwd(uint8_t* dp, const uint8_t* sp, int64_t L,
+                              bool margin) {
+  if (margin) {
+    int64_t i = 0;
+    do {
+      memcpy(dp + i, sp + i, 32);
+      i += 32;
+    } while (i < L);
+  } else {
+    memcpy(dp, sp, (size_t)L);
+  }
+}
+
+// One tag's LZ replay into the image at dec[d] (kind 0 = literal from
+// comp[arg], kind 1 = copy at distance arg) — shared by the classify
+// planner (Ctx::tag) and the plan-free identity stagers.
+static inline void replay_tag(uint8_t* dec, int64_t dec_cap,
+                              const uint8_t* comp, int64_t comp_len,
+                              int64_t kind, int64_t L, int64_t arg,
+                              int64_t d) {
+  if (kind == 0) {
+    replay_fwd(dec + d, comp + arg, L,
+               d + L + 32 <= dec_cap && arg + L + 32 <= comp_len);
+  } else if (arg >= 32 && arg >= L) {
+    // non-overlapping at wide stride: slop reads land on already-
+    // written image bytes or in-allocation garbage, both fine
+    replay_fwd(dec + d, dec + d - arg, L, d + L + 32 <= dec_cap);
+  } else if (d + L + 31 < dec_cap) {
+    copy_pattern_slop(dec + d, arg, L);
+  } else if (arg >= L) {
+    memcpy(dec + d, dec + d - arg, (size_t)L);
+  } else {
+    // overlapping copy: extend the period-arg pattern by doubling;
+    // each memcpy starts at a multiple of arg, so phases line up
+    uint8_t* base = dec + d - arg;
+    int64_t have = arg, done = 0;
+    while (done < L) {
+      int64_t t2 = have < L - done ? have : L - done;
+      memcpy(dec + d + done, base, (size_t)t2);
+      done += t2;
+      have += t2;
+    }
+  }
+}
+
 struct Ctx {
   uint8_t* dec;  // the mirror image region (pat buffer / B row)
   const uint8_t* comp;
@@ -1009,28 +1060,6 @@ struct Ctx {
   int64_t run_start = -1, run_end = -1;
   std::vector<Piece>* pieces;
   std::vector<int64_t>*lits, *lite, *lita;
-
-  // Wide replay copies: unconditional 32-byte chunks with slop.  Bytes
-  // written past d+L stay inside the allocation (guarded by the
-  // callers' dec_cap/comp_len margins) and are either overwritten by a
-  // later tag or never gathered by any piece — only [0, dst_len) of
-  // the image is plan-addressed.  Tail tags without margin take the
-  // exact-length memcpy path.
-  static inline void copy32(uint8_t* dst, const uint8_t* srcp) {
-    memcpy(dst, srcp, 32);
-  }
-  inline void replay_fwd(uint8_t* dp, const uint8_t* sp, int64_t L,
-                         bool margin) {
-    if (margin) {
-      int64_t i = 0;
-      do {
-        copy32(dp + i, sp + i);
-        i += 32;
-      } while (i < L);
-    } else {
-      memcpy(dp, sp, (size_t)L);
-    }
-  }
 
   void emit_linear(int64_t b, int64_t dst, int64_t ln) {
     while (ln > 0) {
@@ -1056,29 +1085,7 @@ struct Ctx {
   // contiguity re-check (the Python contract keeps the readable
   // version of that argument).
   bool tag(int64_t kind, int64_t L, int64_t arg, int64_t d) {
-    if (kind == 0) {
-      replay_fwd(dec + d, comp + arg, L,
-                 d + L + 32 <= dec_cap && arg + L + 32 <= comp_len);
-    } else if (arg >= 32 && arg >= L) {
-      // non-overlapping at wide stride: slop reads land on already-
-      // written image bytes or in-allocation garbage, both fine
-      replay_fwd(dec + d, dec + d - arg, L, d + L + 32 <= dec_cap);
-    } else if (d + L + 31 < dec_cap) {
-      copy_pattern_slop(dec + d, arg, L);
-    } else if (arg >= L) {
-      memcpy(dec + d, dec + d - arg, (size_t)L);
-    } else {
-      // overlapping copy: extend the period-arg pattern by doubling;
-      // each memcpy starts at a multiple of arg, so phases line up
-      uint8_t* base = dec + d - arg;
-      int64_t have = arg, done = 0;
-      while (done < L) {
-        int64_t t2 = have < L - done ? have : L - done;
-        memcpy(dec + d + done, base, (size_t)t2);
-        done += t2;
-        have += t2;
-      }
-    }
+    replay_tag(dec, dec_cap, comp, comp_len, kind, L, arg, d);
     if (__builtin_expect(L >= g_direct_t, 0)) return tag_direct(kind, L, arg, d);
     if (run_start < 0) run_start = d;
     run_end = d + L;
@@ -1419,76 +1426,42 @@ int64_t sn_stage_flat_enc(const uint8_t* block, uint64_t len, int64_t rb,
   return r;
 }
 
-// Segmented flat STAGE for RAW streams (round 3): one raw snappy
-// element decodes as fixed-size output segments, each with its own
-// dependency-free flat plan.  Copies reach at most 65535 bytes back,
-// so the HOST replay carries a rolling 64 KiB history (img[0..64Ki));
-// the DEVICE needs no carry at all — mirror pieces source the
-// segment's own image, direct gathers source the staged payload
-// slice.  Copies (<= 64 bytes) and literals (any length) may straddle
-// a segment boundary; the walk state resumes them.
+extern "C++" {
+// Segmented resume walk over one RAW stream (shared by the classify
+// and identity seg stagers): decodes exactly seg_len output bytes,
+// resuming and re-saving straddling literal/copy state.  Sink
+// supplies the data movement:
+//   bool lit(int64_t take, int64_t src_pos, int64_t drel)
+//   bool copy(int64_t take, int64_t off, int64_t drel)
+// (false aborts with SN_ERR_BUFFER — planner budget overflow).
+// Copy offsets past the 64 KiB carry are format-legal but not
+// plannable per segment -> SN_ERR_BUFFER (host decoder instead).
 //   state: int64[6] = {s, d, lit_src, lit_rem, copy_off, copy_rem}
-//   img:   host scratch, 65536 + seg_len + 64 bytes; [0,64Ki) = the
-//          previous segment's tail (caller slides it), replay writes
-//          the segment at img+65536
-//   b_row: as sn_stage_flat_dec (payload slice + mirror image)
-// Returns pack()'s trips, SN_ERR_CORRUPT, or SN_ERR_BUFFER when the
-// payload slice exceeds cmax or a plan cap (caller falls back to the
-// host decoder for the stream).
-int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
-                              uint64_t dst_total, int64_t* state,
-                              uint8_t* img, int64_t seg_len, int64_t cmax,
-                              int64_t rb, int64_t trip_cap,
-                              int64_t piece_cap, int32_t* meta,
-                              int32_t* starts_out, uint8_t* b_row) {
-  using namespace flatplan;
-  if (trip_cap > 256) return SN_ERR_BUFFER;
-  if (seg_len > (int64_t)kPatRows * kVec) return SN_ERR_BUFFER;
-
+// On SN_OK the state is advanced past the segment.
+template <class S>
+static int walk_seg(const uint8_t* src, uint64_t n, uint64_t dst_total,
+                    int64_t* state, int64_t seg_len, S& sink) {
   uint64_t s = (uint64_t)state[0];
   int64_t d0 = state[1];
   int64_t lit_src = state[2], lit_rem = state[3];
   int64_t copy_off = state[4], copy_rem = state[5];
-  // payload slice starts at the resumed literal's data (so its bytes
-  // are in-slice for direct gathers) or at the current tag
-  int64_t slice_start = lit_rem > 0 ? lit_src : (int64_t)s;
-
-  uint8_t* dec = img + 65536;
-  int64_t slice_hi = slice_start;  // end of staged literal data
-  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
-  memset(b_row, 0, kVec);  // pad row
-
-  Ctx ctx = make_ctx(src, n, piece_cap, dec, seg_len + 64);
-  // the mirror base depends on the slice length, known only after the
-  // walk — emit mirror pieces at a sentinel base far above any
-  // SLICE-RELATIVE payload address and rebase afterwards.  Payload
-  // pieces are emitted slice-relative (ctx.payload_base): they are
-  // bounded by the per-segment slice span (<< 2^27), so they can never
-  // collide with the sentinel — absolute payload offsets could, once a
-  // raw stream's payload crosses 128 MiB (and overflow int32 past
-  // 2 GiB).  Regression: tests/test_decode_flat.py
-  // test_seg_payload_past_sentinel.
-  const int32_t kSegSentinel = 1 << 27;
-  ctx.pat_base0 = kSegSentinel;
-  ctx.payload_base = slice_start;
 
   int64_t drel = 0;
   // resume a straddling copy (continues the same period; the replay
   // source reaches into the carry)
   if (copy_rem > 0) {
     int64_t take = copy_rem < seg_len ? copy_rem : seg_len;
-    if (!ctx.tag(1, take, copy_off, 0)) return SN_ERR_BUFFER;
+    if (!sink.copy(take, copy_off, 0)) return SN_ERR_BUFFER;
     copy_rem -= take;
     drel = take;
   }
   // resume a straddling literal
   if (copy_rem == 0 && lit_rem > 0 && drel < seg_len) {
     int64_t take = lit_rem < seg_len - drel ? lit_rem : seg_len - drel;
-    if (!ctx.tag(0, take, lit_src, drel)) return SN_ERR_BUFFER;
+    if (!sink.lit(take, lit_src, drel)) return SN_ERR_BUFFER;
     lit_src += take;
     lit_rem -= take;
     drel += take;
-    slice_hi = lit_src;
   }
   while (drel < seg_len) {
     if (s >= n) return SN_ERR_CORRUPT;
@@ -1526,8 +1499,7 @@ int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
         lit_src = (int64_t)s + take;
         lit_rem = (int64_t)length - take;
       }
-      if (!ctx.tag(0, take, (int64_t)s, drel)) return SN_ERR_BUFFER;
-      if ((int64_t)s + take > slice_hi) slice_hi = (int64_t)s + take;
+      if (!sink.lit(take, (int64_t)s, drel)) return SN_ERR_BUFFER;
       s += length;
       drel += take;
       continue;
@@ -1559,9 +1531,103 @@ int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
       copy_off = (int64_t)offset;
       copy_rem = (int64_t)length - take;
     }
-    if (!ctx.tag(1, take, (int64_t)offset, drel)) return SN_ERR_BUFFER;
+    if (!sink.copy(take, (int64_t)offset, drel)) return SN_ERR_BUFFER;
     drel += take;
   }
+  state[0] = (int64_t)s;
+  state[1] = d0 + seg_len;
+  state[2] = lit_src;
+  state[3] = lit_rem;
+  state[4] = copy_off;
+  state[5] = copy_rem;
+  return SN_OK;
+}
+}  // extern "C++"
+
+// Classify-planning sink: Ctx plans + replays, slice_hi tracks the
+// staged-literal high-water mark for the payload slice.
+struct SegClassifySink {
+  flatplan::Ctx* ctx;
+  int64_t slice_hi;
+  inline bool lit(int64_t take, int64_t s, int64_t drel) {
+    if (!ctx->tag(0, take, s, drel)) return false;
+    if (s + take > slice_hi) slice_hi = s + take;
+    return true;
+  }
+  inline bool copy(int64_t take, int64_t off, int64_t drel) {
+    return ctx->tag(1, take, off, drel);
+  }
+};
+
+// Identity sink (flat v3 raw): pure LZ replay into the segment image,
+// no pieces, no payload slice — the staged row IS the output.
+struct SegIdSink {
+  uint8_t* dec;
+  int64_t dec_cap;
+  const uint8_t* comp;
+  int64_t comp_len;
+  inline bool lit(int64_t take, int64_t s, int64_t drel) {
+    flatplan::replay_tag(dec, dec_cap, comp, comp_len, 0, take, s, drel);
+    return true;
+  }
+  inline bool copy(int64_t take, int64_t off, int64_t drel) {
+    flatplan::replay_tag(dec, dec_cap, comp, comp_len, 1, take, off, drel);
+    return true;
+  }
+};
+
+// Segmented flat STAGE for RAW streams (round 3): one raw snappy
+// element decodes as fixed-size output segments, each with its own
+// dependency-free flat plan.  Copies reach at most 65535 bytes back,
+// so the HOST replay carries a rolling 64 KiB history (img[0..64Ki));
+// the DEVICE needs no carry at all — mirror pieces source the
+// segment's own image, direct gathers source the staged payload
+// slice.  Copies (<= 64 bytes) and literals (any length) may straddle
+// a segment boundary; the walk state resumes them.
+//   state: int64[6] = {s, d, lit_src, lit_rem, copy_off, copy_rem}
+//   img:   host scratch, 65536 + seg_len + 64 bytes; [0,64Ki) = the
+//          previous segment's tail (caller slides it), replay writes
+//          the segment at img+65536
+//   b_row: as sn_stage_flat_dec (payload slice + mirror image)
+// Returns pack()'s trips, SN_ERR_CORRUPT, or SN_ERR_BUFFER when the
+// payload slice exceeds cmax or a plan cap (caller falls back to the
+// host decoder for the stream).
+int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
+                              uint64_t dst_total, int64_t* state,
+                              uint8_t* img, int64_t seg_len, int64_t cmax,
+                              int64_t rb, int64_t trip_cap,
+                              int64_t piece_cap, int32_t* meta,
+                              int32_t* starts_out, uint8_t* b_row) {
+  using namespace flatplan;
+  if (trip_cap > 256) return SN_ERR_BUFFER;
+  if (seg_len > (int64_t)kPatRows * kVec) return SN_ERR_BUFFER;
+
+  // payload slice starts at the resumed literal's data (so its bytes
+  // are in-slice for direct gathers) or at the current tag
+  int64_t slice_start = state[3] > 0 ? state[2] : state[0];
+
+  uint8_t* dec = img + 65536;
+  memset(starts_out, 0, (size_t)8 * kVec * sizeof(int32_t));
+  memset(b_row, 0, kVec);  // pad row
+
+  Ctx ctx = make_ctx(src, n, piece_cap, dec, seg_len + 64);
+  // the mirror base depends on the slice length, known only after the
+  // walk — emit mirror pieces at a sentinel base far above any
+  // SLICE-RELATIVE payload address and rebase afterwards.  Payload
+  // pieces are emitted slice-relative (ctx.payload_base): they are
+  // bounded by the per-segment slice span (<< 2^27), so they can never
+  // collide with the sentinel — absolute payload offsets could, once a
+  // raw stream's payload crosses 128 MiB (and overflow int32 past
+  // 2 GiB).  Regression: tests/test_decode_flat.py
+  // test_seg_payload_past_sentinel.
+  const int32_t kSegSentinel = 1 << 27;
+  ctx.pat_base0 = kSegSentinel;
+  ctx.payload_base = slice_start;
+
+  SegClassifySink sink{&ctx, slice_start};
+  int rc = walk_seg(src, n, dst_total, state, seg_len, sink);
+  if (rc != SN_OK) return rc;
+  int64_t slice_hi = sink.slice_hi;  // end of staged literal data
   if (!ctx.finish()) return SN_ERR_BUFFER;
 
   // only literal DATA is ever gathered from the payload; tags past the
@@ -1579,14 +1645,32 @@ int64_t sn_stage_flat_dec_seg(const uint8_t* src, uint64_t n,
   memcpy(b_row + kVec, src + slice_start, (size_t)slice_len);
   memcpy(b_row + base, dec, (size_t)seg_len);
   zero_slop_tail(b_row + base, seg_len, rb * kVec - base);
-
-  state[0] = (int64_t)s;
-  state[1] = d0 + seg_len;
-  state[2] = lit_src;
-  state[3] = lit_rem;
-  state[4] = copy_off;
-  state[5] = copy_rem;
   return pack(pieces_buf, rb, trip_cap, meta, starts_out);
+}
+
+// Identity seg STAGE (flat v3 raw, decompress-to-device): the resume
+// walk decodes the segment straight into the carry image — no pieces,
+// no payload slice, no pack — and the staged row IS the output
+// segment (b_row[0, seg_len), tail zeroed).  The device graph is a
+// pure slice/concat, so this is the staging half of the raw
+// decompress-to-device path (H2D carries exactly the decompressed
+// bytes).  Same walk validation + >64Ki-offset SN_ERR_BUFFER fallback
+// as the classify seg stager; state may be advanced on error returns
+// (callers abandon the stream to the host decoder then).
+int sn_stage_flat_dec_id_seg(const uint8_t* src, uint64_t n,
+                             uint64_t dst_total, int64_t* state,
+                             uint8_t* img, int64_t seg_len, int64_t rb,
+                             uint8_t* b_row) {
+  using namespace flatplan;
+  if (seg_len > (int64_t)kPatRows * kVec) return SN_ERR_BUFFER;
+  if (rb * (int64_t)kVec < seg_len) return SN_ERR_BUFFER;
+  uint8_t* dec = img + 65536;
+  SegIdSink sink{dec, seg_len + 64, src, (int64_t)n};
+  int rc = walk_seg(src, n, dst_total, state, seg_len, sink);
+  if (rc != SN_OK) return rc;
+  memcpy(b_row, dec, (size_t)seg_len);
+  memset(b_row + seg_len, 0, (size_t)(rb * (int64_t)kVec - seg_len));
+  return SN_OK;
 }
 
 // Batched flat STAGE entries: one ctypes call stages a whole batch

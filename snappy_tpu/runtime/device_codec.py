@@ -961,19 +961,153 @@ def _decompress_raw_flat(data: bytes, dst_len: int, hdr: int) -> bytes | None:
 
 
 def decompress(data: bytes) -> bytes:
-    """Raw Snappy stream decode.  Raw streams of ANY size decode through
-    the segmented flat engine on TPU (64 KiB dependency-free plans,
-    host-carried history; VERDICT r3 #5 removed the old 8 MiB slow-path
-    split that sent small streams to the pointer-doubling jnp kernel),
-    falling back to the native host decoder off-TPU or on unplannable
-    streams; the jnp kernel remains the no-native portable path."""
+    """Raw Snappy stream decode (host-memory destination).
+
+    Flat v3 ("id", default): the host walk IS the decode
+    (docs/architecture.md) — a raw stream has no CRC for the device to
+    verify, so with a host-bytes destination the device can add no
+    throughput, only a relay round-trip; the native walk decodes at
+    full speed and raw streams of ANY size take it.  Decode with a
+    DEVICE destination (the data-loader case) is decompress_to_device.
+    FLAT_MODE=classify keeps the round-3 behavior: the segmented flat
+    engine executes 64 KiB dependency-free plans on the device
+    (host-carried history), host decoder on unplannable streams; the
+    jnp kernel remains the no-native portable path."""
     dst_len, hdr = read_uvarint(data, 0)
     from snappy_tpu import native
 
-    if FLAT and _pallas_enabled() and native.available():
+    if (FLAT and _pallas_enabled() and native.available()
+            and FLAT_MODE != "id"):
         got = _decompress_raw_flat(data, dst_len, hdr)
         if got is not None:
             return got
     if native.available():
         return native.decompress(data)
     return decode_jnp.decode_block_jnp(data, dst_len, start=hdr)
+
+
+def decompress_to_device(data: bytes) -> "jax.Array":
+    """Raw Snappy stream decode to a DEVICE-RESIDENT uint8 array.
+
+    The decode-to-HBM data-loader path (flat v3): the host id-walk
+    decodes 64 KiB segments straight into staging rows (resume state
+    carries straddling tags, a rolling 64 KiB history carries copy
+    sources), H2D carries exactly the decompressed bytes, and the
+    payload never crosses back to the host.  Falls back to host decode
+    + device_put off-TPU, in classify mode, or on streams with
+    format-legal >64 KiB copy offsets (no real encoder emits them)."""
+    dst_len, hdr = read_uvarint(data, 0)
+    from snappy_tpu import native as _native
+
+    use_id = (FLAT and _pallas_enabled() and _native.available()
+              and FLAT_MODE == "id" and dst_len > 0)
+    if not use_id:
+        return jax.device_put(
+            np.frombuffer(decompress(data), np.uint8))
+    arr = np.frombuffer(data, np.uint8)
+    rb_id = 512  # pure output rows: no guard/slop, the device only slices
+    nseg = (dst_len + _RAW_SEG - 1) // _RAW_SEG
+    W = min(BATCH, nseg)
+    state = np.array([hdr, 0, 0, 0, 0, 0], np.int64)
+    img = np.zeros(65536 + _RAW_SEG + 64, np.uint8)
+    # triple-buffered staging: batch k must never rewrite host memory a
+    # pending device_put of batch k-1/k-2 may still read
+    NSETS = 3
+    sets = [np.empty((W, rb_id * 128), np.uint8) for _ in range(NSETS)]
+    outs = []
+    done = 0
+    k = 0
+    while done < dst_len:
+        b_u8 = sets[k % NSETS]
+        k += 1
+        cnt = 0
+        while cnt < W and done < dst_len:
+            seg = min(_RAW_SEG, dst_len - done)
+            ok = _native.stage_flat_dec_id_seg(
+                arr, dst_len, state, img, seg, rb_id, b_u8[cnt])
+            if not ok:  # >64 KiB offset: host decoder instead
+                return jax.device_put(
+                    np.frombuffer(decompress(data), np.uint8))
+            # slide the carry: last 64 KiB of (carry + this segment)
+            img[:65536] = img[seg:seg + 65536].copy()
+            done += seg
+            cnt += 1
+        outs.append(jax.device_put(b_u8[:cnt]))
+    if int(state[0]) != len(data) or state[3] or state[5]:
+        raise CorruptError("raw stream length disagrees with preamble")
+    return jnp.concatenate([o.reshape(-1) for o in outs])[:dst_len]
+
+
+def decompress_framed_to_device(
+        data: bytes, verify_checksums: bool = True) -> "jax.Array":
+    """Framed-stream decode to a DEVICE-RESIDENT uint8 array.
+
+    The decode-to-HBM data-loader path (flat v3): the host id-stages
+    each chunk (threaded C++ walk), H2D carries exactly the
+    decompressed bytes, per-chunk CRC-32C is verified on the MXU where
+    the bytes land, and only the tiny err vector crosses back.  Device
+    assembly is a reshape + slice, valid because every chunk but the
+    last fills a 64 KiB row (the framed writer's layout); ragged
+    streams — and off-TPU / classify-mode runs — fall back to the host
+    path + device_put."""
+    chunks, total = _scan_frames(data)
+    from snappy_tpu import native as _native
+
+    use_id = (FLAT and _pallas_enabled() and _native.available()
+              and FLAT_MODE == "id" and DEVICE_CRC
+              and MAX_CHUNK_UNCOMPRESSED == _CRC_CHUNK)
+    uniform = total > 0 and all(
+        ch[4] == _CRC_CHUNK for ch in chunks[:-1]) and all(
+        ch[2] <= _DECODE_CMAX for ch in chunks
+        if ch[0] == CHUNK_COMPRESSED)
+    if not (use_id and uniform):
+        return jax.device_put(np.frombuffer(
+            decompress_framed(data, verify_checksums), np.uint8))
+    src_arr = np.frombuffer(data, np.uint8)
+    parts = []
+    for base in range(0, len(chunks), BATCH):
+        grp = chunks[base:base + BATCH]
+        dlens = np.zeros(BATCH, np.int32)
+        want = np.zeros(BATCH, np.uint32)
+        b_u8 = np.empty((BATCH, _ID_ROWS * 128), np.uint8)
+        comp_rows = []
+        for row, ch in enumerate(grp):
+            dlens[row] = ch[4]
+            want[row] = unmask_crc(ch[3])
+            if ch[0] == CHUNK_COMPRESSED:
+                comp_rows.append(row)
+            else:  # uncompressed: the row IS the payload
+                _t, p_off, p_len, _c, _d, _h = ch
+                b_u8[row, :p_len] = src_arr[p_off:p_off + p_len]
+                b_u8[row, p_len:] = 0
+        # id-stage compressed rows in contiguous runs (C++ threads)
+        r = 0
+        while r < len(comp_rows):
+            r2 = r
+            while (r2 + 1 < len(comp_rows)
+                   and comp_rows[r2 + 1] == comp_rows[r2] + 1):
+                r2 += 1
+            rows = comp_rows[r:r2 + 1]
+            offs64 = np.array([grp[i][1] for i in rows], np.int64)
+            lens64 = np.array([grp[i][2] for i in rows], np.int64)
+            hdrs64 = np.array([grp[i][5] for i in rows], np.int64)
+            dstl64 = np.array([grp[i][4] for i in rows], np.int64)
+            rc64 = np.zeros(len(rows), np.int64)
+            bad = _native.stage_flat_dec_id_batch(
+                src_arr, offs64, lens64, hdrs64, dstl64, _ID_ROWS,
+                b_u8[rows[0]:rows[0] + len(rows)], rc64,
+                n_threads=min(4, os.cpu_count() or 1))
+            if bad:
+                raise CorruptError("invalid chunk payload (flat stage)")
+            r = r2 + 1
+        parts.append((grp, _decode_id_and_crc(b_u8, dlens, want)))
+    if verify_checksums:
+        for grp, (_res, err) in parts:  # tiny D2H; payload stays put
+            err_h = np.asarray(err)
+            for row, ch in enumerate(grp):
+                if int(err_h[row]) == 100:
+                    raise ChecksumError(ch[3], None)
+    # _decode_id_and_crc rows are already the sliced 64 KiB images
+    body = jnp.concatenate(
+        [res for _grp, (res, _e) in parts]).reshape(-1)
+    return body[:total]

@@ -523,6 +523,7 @@ class TestSegmentedRaw:
         from snappy_tpu.runtime import device_codec
 
         monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "FLAT_MODE", "classify")
         data = b"".join(d for _, d in make_corpus(1 << 20, seed=31))[:400_000]
         raw = self._foreign(data)  # cross-64Ki copies (one C++ stream)
         assert device_codec.decompress(raw) == data
@@ -532,6 +533,7 @@ class TestSegmentedRaw:
         from snappy_tpu.runtime import device_codec
 
         monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "FLAT_MODE", "classify")
         rng = np.random.default_rng(8)
         for n in (65_536, 65_537, 131_072 + 13, 200_000):
             data = (b"segmented raw " * 4096 + rng.bytes(n))[:n]
@@ -539,13 +541,18 @@ class TestSegmentedRaw:
             assert device_codec.decompress(raw) == data, n
 
     def test_small_raw_selects_flat_engine(self, monkeypatch):
-        """VERDICT r3 #5: raw streams of any size (here 1 KiB and 1 MiB)
-        must route through the segmented flat engine on TPU — the old
-        8 MiB threshold sent small streams to the slow jnp kernel."""
+        """VERDICT r3 #5: in classify mode, raw streams of any size
+        (here 1 KiB and 1 MiB) route through the segmented flat engine
+        on TPU — the old 8 MiB threshold sent small streams to the slow
+        jnp kernel.  (Flat v3 "id", the default, instead decodes raw
+        host-destination streams with the host walk directly — see
+        test_raw_id_mode_routing — and keeps the device for the
+        decompress_to_device data-loader path.)"""
         from snappy_tpu import native
         from snappy_tpu.runtime import device_codec
 
         monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "FLAT_MODE", "classify")
         calls = []
         real = device_codec._decompress_raw_flat
 
@@ -560,6 +567,25 @@ class TestSegmentedRaw:
             assert device_codec.decompress(raw) == data
         assert calls == [1024, 1 << 20]
 
+    def test_raw_id_mode_routing(self, monkeypatch):
+        """Flat v3 routing contract: with a HOST destination the id
+        walk IS the decode (no device round-trip — a raw stream has no
+        CRC for the chip to verify), so _decompress_raw_flat must NOT
+        run; the device path for raw is decompress_to_device."""
+        from snappy_tpu import native
+        from snappy_tpu.runtime import device_codec
+
+        monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "FLAT_MODE", "id")
+
+        def boom(data, dst_len, hdr):  # pragma: no cover
+            raise AssertionError("id mode must not take the device path")
+
+        monkeypatch.setattr(device_codec, "_decompress_raw_flat", boom)
+        data = (b"id mode raw " * 9000)[:100_000]
+        raw = native.compress(data)
+        assert device_codec.decompress(raw) == data
+
     def test_straddling_literal_and_copy(self, monkeypatch):
         """A literal spanning the 64 KiB segment boundary and a copy
         whose source lies wholly in the previous segment."""
@@ -567,6 +593,7 @@ class TestSegmentedRaw:
         from snappy_tpu.runtime import device_codec
 
         monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "FLAT_MODE", "classify")
         rng = np.random.default_rng(9)
         lit = rng.bytes(70_000)             # one huge literal straddles
         echo = lit[60_000:60_100] * 40      # matches reach across
@@ -580,6 +607,7 @@ class TestSegmentedRaw:
         from snappy_tpu.runtime import device_codec
 
         monkeypatch.setattr(device_codec, "_pallas_cache", True)
+        monkeypatch.setattr(device_codec, "FLAT_MODE", "classify")
         rng = np.random.default_rng(10)
         raw = native.compress(rng.bytes(150_000))
         with pytest.raises(CorruptError):
