@@ -34,6 +34,7 @@ __all__ = [
     "sharded_decode_flat",
     "sharded_encode_flat",
     "sharded_decode_id",
+    "sharded_decompress_framed_to_device",
     "sharded_crc",
     "stage_dec_id_batch",
     "roundtrip_step",
@@ -332,6 +333,58 @@ def sharded_decode_id(
             out_specs=(P("d"), P("d")),
         ))(*arrs)
     return np.asarray(out)[:b], np.asarray(err)[:b]
+
+
+def sharded_decompress_framed_to_device(
+    mesh: Mesh, data: bytes, verify_checksums: bool = True
+):
+    """Stream-level DATA-LOADER entry (flat v3 over the mesh): scan a
+    framed stream, id-stage every chunk on host (threaded C++ walk),
+    and land the decompressed bytes SHARDED over the mesh — one 64 KiB
+    image row per chunk, batch axis partitioned over 'd', per-chunk
+    CRC-32C verified on each device's MXU with ZERO collectives (chunk
+    independence, SURVEY.md §7.4).  Only the tiny err vector is
+    fetched; the rows stay device-resident.
+
+    Returns (rows, dst_lens, b): rows is a NamedSharding'd
+    uint8[B_padded, 65536] jax.Array, dst_lens int32[b] gives each
+    row's valid byte count, b the real chunk count.  The single-chip
+    flattening form is runtime.device_codec.decompress_framed_to_device.
+    """
+    from snappy_tpu.errors import ChecksumError
+    from snappy_tpu.kernels.crc32c_jnp import crc32c_chunks
+    from snappy_tpu.runtime.device_codec import _scan_frames, stage_id_rows
+
+    chunks, _total = _scan_frames(data)
+    src_arr = np.frombuffer(data, np.uint8)
+    B = len(chunks)
+    b_u8 = np.zeros((max(B, 1), _ID_ROWS * 128), np.uint8)
+    dlens = np.zeros(max(B, 1), np.int32)
+    want = np.zeros(max(B, 1), np.uint32)
+    stage_id_rows(src_arr, chunks, b_u8, dlens, want)
+    (b_u8_p, dlens_p, want_p), b = _pad_to_mesh(mesh, b_u8, dlens, want)
+    arrs = _shard_batch(mesh, b_u8_p, dlens_p, want_p)
+
+    def _local(rows, dl, w):
+        nb = rows.shape[0]
+        out = rows.reshape(nb, _ID_ROWS, 128)[:, :512].reshape(
+            nb, 512 * 128)
+        crc = crc32c_chunks(out, dl)
+        err = jnp.where((crc != w) & (dl > 0), jnp.int32(100),
+                        jnp.int32(0))
+        return out, err
+
+    with mesh:
+        out, err = jax.jit(jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P("d"), P("d"), P("d")),
+            out_specs=(P("d"), P("d")),
+        ))(*arrs)
+    if verify_checksums:
+        err_h = np.asarray(err)[:B]  # tiny D2H; the rows stay put
+        for i in np.nonzero(err_h == 100)[0]:
+            raise ChecksumError(chunks[int(i)][3], None)
+    return out, dlens[:B], min(B, b)
 
 
 def sharded_crc(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray):

@@ -1038,6 +1038,47 @@ def decompress_to_device(data: bytes) -> "jax.Array":
     return jnp.concatenate([o.reshape(-1) for o in outs])[:dst_len]
 
 
+def stage_id_rows(src_arr: np.ndarray, grp, b_u8: np.ndarray,
+                  dlens: np.ndarray, want: np.ndarray) -> None:
+    """Id-stage one group of scanned framed chunks into staging rows
+    (shared by the single-chip and mesh-sharded to-device decoders):
+    compressed chunks decode via the threaded C++ id walk in contiguous
+    runs, uncompressed chunks ARE their payload; dlens/want are filled
+    per row (rows past len(grp) are left as the caller initialized
+    them).  Raises CorruptError on an invalid payload."""
+    from snappy_tpu import native as _native
+
+    comp_rows = []
+    for row, ch in enumerate(grp):
+        dlens[row] = ch[4]
+        want[row] = unmask_crc(ch[3])
+        if ch[0] == CHUNK_COMPRESSED:
+            comp_rows.append(row)
+        else:  # uncompressed: the row IS the payload
+            _t, p_off, p_len, _c, _d, _h = ch
+            b_u8[row, :p_len] = src_arr[p_off:p_off + p_len]
+            b_u8[row, p_len:] = 0
+    r = 0
+    while r < len(comp_rows):
+        r2 = r
+        while (r2 + 1 < len(comp_rows)
+               and comp_rows[r2 + 1] == comp_rows[r2] + 1):
+            r2 += 1
+        rows = comp_rows[r:r2 + 1]
+        offs64 = np.array([grp[i][1] for i in rows], np.int64)
+        lens64 = np.array([grp[i][2] for i in rows], np.int64)
+        hdrs64 = np.array([grp[i][5] for i in rows], np.int64)
+        dstl64 = np.array([grp[i][4] for i in rows], np.int64)
+        rc64 = np.zeros(len(rows), np.int64)
+        bad = _native.stage_flat_dec_id_batch(
+            src_arr, offs64, lens64, hdrs64, dstl64, b_u8.shape[1] // 128,
+            b_u8[rows[0]:rows[0] + len(rows)], rc64,
+            n_threads=min(4, os.cpu_count() or 1))
+        if bad:
+            raise CorruptError("invalid chunk payload (flat stage)")
+        r = r2 + 1
+
+
 def decompress_framed_to_device(
         data: bytes, verify_checksums: bool = True) -> "jax.Array":
     """Framed-stream decode to a DEVICE-RESIDENT uint8 array.
@@ -1070,36 +1111,7 @@ def decompress_framed_to_device(
         dlens = np.zeros(BATCH, np.int32)
         want = np.zeros(BATCH, np.uint32)
         b_u8 = np.empty((BATCH, _ID_ROWS * 128), np.uint8)
-        comp_rows = []
-        for row, ch in enumerate(grp):
-            dlens[row] = ch[4]
-            want[row] = unmask_crc(ch[3])
-            if ch[0] == CHUNK_COMPRESSED:
-                comp_rows.append(row)
-            else:  # uncompressed: the row IS the payload
-                _t, p_off, p_len, _c, _d, _h = ch
-                b_u8[row, :p_len] = src_arr[p_off:p_off + p_len]
-                b_u8[row, p_len:] = 0
-        # id-stage compressed rows in contiguous runs (C++ threads)
-        r = 0
-        while r < len(comp_rows):
-            r2 = r
-            while (r2 + 1 < len(comp_rows)
-                   and comp_rows[r2 + 1] == comp_rows[r2] + 1):
-                r2 += 1
-            rows = comp_rows[r:r2 + 1]
-            offs64 = np.array([grp[i][1] for i in rows], np.int64)
-            lens64 = np.array([grp[i][2] for i in rows], np.int64)
-            hdrs64 = np.array([grp[i][5] for i in rows], np.int64)
-            dstl64 = np.array([grp[i][4] for i in rows], np.int64)
-            rc64 = np.zeros(len(rows), np.int64)
-            bad = _native.stage_flat_dec_id_batch(
-                src_arr, offs64, lens64, hdrs64, dstl64, _ID_ROWS,
-                b_u8[rows[0]:rows[0] + len(rows)], rc64,
-                n_threads=min(4, os.cpu_count() or 1))
-            if bad:
-                raise CorruptError("invalid chunk payload (flat stage)")
-            r = r2 + 1
+        stage_id_rows(src_arr, grp, b_u8, dlens, want)
         parts.append((grp, _decode_id_and_crc(b_u8, dlens, want)))
     if verify_checksums:
         for grp, (_res, err) in parts:  # tiny D2H; payload stays put

@@ -172,3 +172,36 @@ def test_sharded_id_decode_and_enc_crc(rng, mesh8):
     crcs = dmesh.sharded_crc(mesh8, blocks64, lens)
     for i, b in enumerate(raw):
         assert int(crcs[i]) == native.crc32c(b)
+
+
+def test_sharded_framed_to_device_loader(rng, mesh8):
+    """Stream-level mesh data loader: a framed stream lands sharded over
+    the mesh, rows match the host decode, CRC flags corruption, and 1-
+    vs 8-device results are identical."""
+    from snappy_tpu import native
+    from snappy_tpu.errors import ChecksumError
+    from snappy_tpu.runtime import device_codec
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = (b"sharded loader " * 9000)[:100_000] + rng.randbytes(70_000)
+    fr = device_codec.compress_framed(data)
+
+    rows8, dlens, b = dmesh.sharded_decompress_framed_to_device(mesh8, fr)
+    got = b"".join(
+        np.asarray(rows8[i, : dlens[i]]).tobytes() for i in range(b))
+    assert got == data
+    mesh1 = dmesh.make_mesh(1)
+    rows1, dlens1, b1 = dmesh.sharded_decompress_framed_to_device(mesh1, fr)
+    assert b1 == b and (dlens1 == dlens).all()
+    assert (np.asarray(rows8)[:b] == np.asarray(rows1)[:b]).all()
+
+    # corruption surfaces at whichever layer sees it first: the
+    # validating id walk (CorruptError) or the device CRC
+    # (ChecksumError) — a flipped payload byte must never decode
+    from snappy_tpu.errors import CorruptError
+
+    bad = bytearray(fr)
+    bad[40] ^= 0xFF  # first chunk body byte
+    with pytest.raises((ChecksumError, CorruptError)):
+        dmesh.sharded_decompress_framed_to_device(mesh8, bytes(bad))
