@@ -892,6 +892,16 @@ def _system_path_bench(data: bytes, repeats: int,
     out["system_decompress_times_s"] = [round(t, 3) for t in times]
     out["system_plan_dec_gbs"] = round(
         _plan_only(_stage_dec_batch, dec_sets), 4)
+    # device-only pass over the pre-staged panels: the DEVICE-side
+    # ceiling of the pipelined clock (id mode: slice + MXU CRC) — shows
+    # which half of the overlap bounds the system number
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        bad = dec_pass(plan_on_host=False)
+        times.append(time.perf_counter() - t0)
+        assert bad == 0
+    out["system_device_only_dec_gbs"] = round(total / 1e9 / min(times), 4)
 
     enc_pass()  # warmup
     times = []
@@ -903,6 +913,12 @@ def _system_path_bench(data: bytes, repeats: int,
     out["system_compress_times_s"] = [round(t, 3) for t in times]
     out["system_plan_enc_gbs"] = round(
         _plan_only(_stage_enc_batch, enc_sets), 4)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        enc_pass(plan_on_host=False)
+        times.append(time.perf_counter() - t0)
+    out["system_device_only_enc_gbs"] = round(total / 1e9 / min(times), 4)
 
     # Fully-coupled variant (r3 advisor): stage + REAL device transfer
     # + execute in one clock, so the relay-elision claim is directly
