@@ -495,11 +495,14 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
             w0, n0 = m_args[0]
             pairs = np.asarray(pallas_match._match_jit(
                 w0, n0, interpret=False, group=1, home=False))
-            t0 = time.perf_counter()
-            packed = pallas_match.scatter_home(pairs)
-            for i in range(MB_):
-                native.emit_from_cands(m_blocks[i], packed[i])
-            match_emit_gbs = MB_ * BMAX / 1e9 / (time.perf_counter() - t0)
+            best = float("inf")  # best-of: first pass pays cold allocs
+            for _ in range(max(2, repeats)):
+                t0 = time.perf_counter()
+                packed = pallas_match.scatter_home(pairs)
+                for i in range(MB_):
+                    native.emit_from_cands(m_blocks[i], packed[i])
+                best = min(best, time.perf_counter() - t0)
+            match_emit_gbs = MB_ * BMAX / 1e9 / best
         except Exception as e:  # pragma: no cover - keep the bench alive
             match_times = []
             print(f"[bench] devmatch phase failed: {e!r}"[:300])
