@@ -336,7 +336,8 @@ def sharded_decode_id(
 
 
 def sharded_decompress_framed_to_device(
-    mesh: Mesh, data: bytes, verify_checksums: bool = True
+    mesh: Mesh, data: bytes, verify_checksums: bool = True,
+    chunk_range: tuple[int, int] | None = None,
 ):
     """Stream-level DATA-LOADER entry (flat v3 over the mesh): scan a
     framed stream, id-stage every chunk on host (threaded C++ walk),
@@ -350,12 +351,17 @@ def sharded_decompress_framed_to_device(
     uint8[B_padded, 65536] jax.Array, dst_lens int32[b] gives each
     row's valid byte count, b the real chunk count.  The single-chip
     flattening form is runtime.device_codec.decompress_framed_to_device.
+    ``chunk_range=(lo, cnt)`` restricts staging to that chunk subset —
+    the multi-host loader (dist.multihost) gives each host its range.
     """
     from snappy_tpu.errors import ChecksumError
     from snappy_tpu.kernels.crc32c_jnp import crc32c_chunks
     from snappy_tpu.runtime.device_codec import _scan_frames, stage_id_rows
 
     chunks, _total = _scan_frames(data)
+    if chunk_range is not None:  # multi-host: this host's range only
+        lo, cnt = chunk_range
+        chunks = chunks[lo:lo + cnt]
     src_arr = np.frombuffer(data, np.uint8)
     B = len(chunks)
     b_u8 = np.zeros((max(B, 1), _ID_ROWS * 128), np.uint8)

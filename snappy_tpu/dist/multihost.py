@@ -29,6 +29,7 @@ __all__ = [
     "plan_chunk_ranges",
     "host_compress_framed",
     "host_decompress_framed",
+    "host_decompress_framed_to_device",
     "gather_lengths",
     "main",
 ]
@@ -109,6 +110,34 @@ def host_decompress_framed(src: bytes, process_id: int, num_processes: int,
         "gbs": round(local_total / 1e9 / dt, 4) if dt > 0 else None,
     }
     return out_base, out[:local_total].tobytes(), total, stats
+
+
+def host_decompress_framed_to_device(src: bytes, process_id: int,
+                                     num_processes: int, mesh=None,
+                                     verify_checksums: bool = True):
+    """Decompress this host's chunk range of a framed stream straight
+    onto its LOCAL devices (the multi-host data-loading form of config
+    5): every host scans the frame index locally and id-stages only its
+    contiguous chunk range, rows land sharded over the local mesh with
+    per-chunk CRC-32C verified on each device — ZERO DCN collectives,
+    and the decompressed bytes never touch host memory as a stream.
+
+    Returns (rows, dst_lens, lo, cnt): rows uint8[cnt_padded, 65536]
+    sharded over ``mesh`` (default: a mesh over jax.local_devices()),
+    row i of this host = global chunk lo + i with dst_lens[i] valid
+    bytes.  Single-chip/stream form: decompress_framed_to_device."""
+    import jax
+
+    from snappy_tpu.dist import mesh as dmesh
+    from snappy_tpu.runtime import device_codec
+
+    if mesh is None:
+        mesh = dmesh.make_mesh(devices=jax.local_devices())
+    chunks, _total = device_codec._scan_frames(src)
+    lo, cnt = plan_chunk_ranges(len(chunks), num_processes)[process_id]
+    rows, dlens, b = dmesh.sharded_decompress_framed_to_device(
+        mesh, src, verify_checksums, chunk_range=(lo, cnt))
+    return rows, dlens[:b], lo, cnt
 
 
 def gather_lengths(local_lengths: np.ndarray) -> np.ndarray:

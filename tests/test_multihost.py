@@ -106,3 +106,29 @@ def test_host_decompress_detects_corruption(rng):
     with pytest.raises((ChecksumError, CorruptError)):
         # the corrupted tail chunk lands in the LAST host's range
         multihost.host_decompress_framed(bytes(framed), 1, 2)
+
+
+def test_host_decompress_framed_to_device_partition(rng):
+    """Multi-host data loading: per-host device-resident chunk ranges
+    tile the stream exactly (every chunk lands on exactly one host,
+    rows bit-equal to the host decode), zero collectives."""
+    import jax
+    import numpy as np
+
+    from snappy_tpu.dist import mesh as dmesh, multihost as mh
+    from snappy_tpu.runtime import device_codec
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 devices")
+    data = (b"multihost loader " * 9000)[:150_000] + rng.randbytes(80_000)
+    fr = device_codec.compress_framed(data)
+    mesh = dmesh.make_mesh(2)
+    got = {}
+    for pid in range(2):
+        rows, dlens, lo, cnt = mh.host_decompress_framed_to_device(
+            fr, pid, 2, mesh=mesh)
+        for i in range(cnt):
+            got[lo + i] = np.asarray(rows[i, : dlens[i]]).tobytes()
+    assert b"".join(got[i] for i in sorted(got)) == data
+    assert sorted(got) == list(range(len(got)))
