@@ -136,3 +136,42 @@ class TestFramedToDevice:
         fr = device_codec.compress_framed(data)
         dev = device_codec.decompress_framed_to_device(fr)
         assert bytes(np.asarray(dev)) == data
+
+
+def test_to_device_generator_fuzz(rng, on_tpu):
+    """Bounded version of the round-4 400-case sweep (0 failures):
+    8 generator families x own + foreign raw streams + framed, all
+    through the id/to_device paths."""
+    import pyarrow as pa
+
+    nrng = np.random.default_rng(20260820)
+    for t in range(24):
+        kind = t % 8
+        n = int(nrng.integers(0, 150_000))
+        if kind == 0:
+            data = nrng.bytes(n)
+        elif kind == 1:
+            data = (b"the quick brown fox " * 8000)[:n]
+        elif kind == 2:
+            data = bytes([int(nrng.integers(65, 70))]) * n
+        elif kind == 3:
+            p = int(nrng.integers(1, 200)) or 1
+            data = (nrng.bytes(p) * (n // p + 1))[:n]
+        elif kind == 4:
+            data = nrng.bytes(n // 2) + (b"abcdef" * 9000)[:max(0, n - n // 2)]
+        elif kind == 5:
+            data = nrng.integers(0, 3, n, dtype=np.uint8).tobytes()
+        elif kind == 6:
+            seed = nrng.bytes(min(n, 5000))
+            data = (seed + nrng.bytes(60000) + seed + nrng.bytes(4000))[:n]
+        else:
+            w = [nrng.bytes(int(nrng.integers(2, 9))) for _ in range(30)]
+            data = b"".join(
+                w[int(i)] for i in nrng.integers(0, 30, n // 5))[:n]
+        for raw in (native.compress(data),
+                    pa.compress(data, codec="snappy", asbytes=True)):
+            assert bytes(np.asarray(
+                device_codec.decompress_to_device(raw))) == data, (t, kind)
+        fr = device_codec.compress_framed(data)
+        assert bytes(np.asarray(
+            device_codec.decompress_framed_to_device(fr))) == data, (t, kind)
