@@ -628,7 +628,11 @@ def _system_path_bench(data: bytes, repeats: int,
     #              device graph = row slice + MXU CRC (no plan at all)
     #   classify — v2 trip plans through the gather/compose kernel
     mode = os.environ.get("SNAPPY_TPU_FLAT_MODE", "id")
-    B = batch or int(os.environ.get("SNAPPY_TPU_BENCH_SYSBATCH", "64"))
+    # 256-row batches: 4x fewer dispatches than the runtime's 64 —
+    # through the relay, per-dispatch blocking is the only overhead the
+    # pipelined clock can't hide (B sweep r4: 64 -> 2.08, 256 -> 2.78,
+    # 512/1024 no better; docs/performance.md)
+    B = batch or int(os.environ.get("SNAPPY_TPU_BENCH_SYSBATCH", "256"))
     BMAX, CMAX = 65536, 66560
     ID_ROWS = 520
     sysbytes = sysbytes or int(
@@ -839,29 +843,46 @@ def _system_path_bench(data: bytes, repeats: int,
 
     combine = jax.jit(lambda *xs: sum(xs))
 
+    # Dispatch rides a dedicated worker thread (production-shaped
+    # pipelining: a real loader thread-splits stage and dispatch the
+    # same way).  Measured r4 through the relay: the clock stays ≈
+    # plan + dispatch either way (B=256: 2.6-2.8 vs plan 4.2-4.5
+    # GB/s) — relay dispatch costs ~0.13 ms per MB of referenced
+    # panels and appears to hold the GIL, so no thread arrangement
+    # recovers the overlap in-process.  On a healthy host dispatch
+    # enqueue is ~10 us and the clock tracks min(plan, device); the
+    # decomposition fields (system_plan_*, system_device_only_*) keep
+    # that auditable.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _dispatcher = ThreadPoolExecutor(1)
+
     def dec_pass(plan_on_host: bool = True):
-        hs = []
+        futs = []
         for k in range(n_batches):
             if plan_on_host:  # full production planning cost, pooled
                 _stage_dec_batch(k, dec_sets[k % NSETS])
             if mode == "id":
-                hs.append(_dec_graph_id(*dec_dev[k], want_dev[k],
-                                        dlens_dev))
+                futs.append(_dispatcher.submit(
+                    _dec_graph_id, *dec_dev[k], want_dev[k], dlens_dev))
             else:
-                hs.append(_dec_graph(*dec_dev[k], want_dev[k], dlens_dev,
-                                     rb_u=rb_dec))
-        return int(np.asarray(combine(*hs)))
+                futs.append(_dispatcher.submit(
+                    _dec_graph, *dec_dev[k], want_dev[k], dlens_dev,
+                    rb_u=rb_dec))
+        return int(np.asarray(combine(*[f.result() for f in futs])))
 
     def enc_pass(plan_on_host: bool = True):
-        hs = []
+        futs = []
         for k in range(n_batches):
             if plan_on_host:
                 _stage_enc_batch(k, enc_sets[k % NSETS])
             if mode == "id":
-                hs.append(_enc_graph_id(*enc_dev[k], dlens_dev))
+                futs.append(_dispatcher.submit(
+                    _enc_graph_id, *enc_dev[k], dlens_dev))
             else:
-                hs.append(_enc_graph(*enc_dev[k], rb_u=rb_enc_u))
-        return int(np.asarray(combine(*hs)))
+                futs.append(_dispatcher.submit(
+                    _enc_graph, *enc_dev[k], rb_u=rb_enc_u))
+        return int(np.asarray(combine(*[f.result() for f in futs])))
 
     def _plan_only(stage, sets):
         t0 = time.perf_counter()
