@@ -1007,6 +1007,7 @@ def _system_path_bench(data: bytes, repeats: int,
     out["host_native_note"] = (
         f"pure host C++ framed codec, {nt} threads, same {total >> 20} "
         "MB resident volume — the bar the system path must clear")
+    _dispatcher.shutdown()
     return out
 
 

@@ -301,12 +301,16 @@ def _oracle_block(block: bytes) -> bytes:
 # ---------------------------------------------------------------------
 # encode
 
-def _encode_batches(data: bytes | memoryview, chunk_size: int):
+def _encode_batches(data: bytes | memoryview, chunk_size: int,
+                    needs_crc: bool = True):
     """Yield (chunk_index, chunk_len, element_bytes, crc_or_None) for
     every chunk of data, running the device encoder over padded
     batches.  crc is the raw (unmasked) CRC-32C of the uncompressed
     chunk when the engine computed it on device (flat v3), else None
-    (the caller CRCs on host).
+    (the caller CRCs on host).  needs_crc=False (raw block format: no
+    checksum) skips the device CRC dispatch AND its synchronous fetch
+    — through the relay that fetch costs ~30-50 ms per batch for a
+    value the caller would discard (r4 advisor finding).
 
     Two-phase: dispatch every batch first (device queues are deep and
     dispatch is asynchronous), then fetch results.  Fetches are trimmed
@@ -353,8 +357,11 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
             lens[i] = len(chunk)
         if use_enc_id and not use_devmatch:
             # dispatch the device CRC first (async), then run the host
-            # matcher while the chip checksums the same blocks
-            crc_h = crc32c_chunks(arr, lens)
+            # matcher while the chip checksums the same blocks; no
+            # dispatch at all when the caller has no use for the CRC
+            # (raw streams) or opted out of device CRC
+            crc_h = (crc32c_chunks(arr, lens)
+                     if needs_crc and DEVICE_CRC else None)
             lens64 = lens[:cnt].astype(np.int64)
             clens64 = np.zeros(cnt, np.int64)
             hdrs64 = np.zeros(cnt, np.int64)
@@ -449,7 +456,7 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
         if engine == "devmatch":
             targets = (comp, clen, ok)
         elif engine == "hostenc":
-            targets = (comp,)  # the device CRC vector
+            targets = (comp,) if comp is not None else ()  # CRC vector
         else:
             targets = (clen, ok)
         for h in targets:
@@ -459,9 +466,10 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int):
         base = bi * BATCH
         cnt = counts[bi]
         if engine == "hostenc":
-            crc_np = np.asarray(comp)
+            crc_np = np.asarray(comp) if comp is not None else None
             for i, blob in enumerate(clen):  # clen slot carries blobs
-                yield base + i, int(lens_all[bi][i]), blob, int(crc_np[i])
+                yield (base + i, int(lens_all[bi][i]), blob,
+                       int(crc_np[i]) if crc_np is not None else None)
             continue
         if engine == "devmatch":
             # fetch sorted pairs, scatter home, emit on the host pool;
@@ -519,7 +527,8 @@ def compress(data: bytes) -> bytes:
     if len(data) > MAX_UNCOMPRESSED_LEN:
         raise TooLargeError(len(data))
     out = bytearray(put_uvarint(len(data)))
-    for _, _, blob, _crc in _encode_batches(data, MAX_BLOCK_SIZE):
+    for _, _, blob, _crc in _encode_batches(data, MAX_BLOCK_SIZE,
+                                            needs_crc=False):
         out += blob
     return bytes(out)
 
@@ -1010,16 +1019,17 @@ def decompress_to_device(data: bytes) -> "jax.Array":
     W = min(BATCH, nseg)
     state = np.array([hdr, 0, 0, 0, 0, 0], np.int64)
     img = np.zeros(65536 + _RAW_SEG + 64, np.uint8)
-    # triple-buffered staging: batch k must never rewrite host memory a
-    # pending device_put of batch k-1/k-2 may still read
-    NSETS = 3
-    sets = [np.empty((W, rb_id * 128), np.uint8) for _ in range(NSETS)]
+    # one staging buffer, copied per batch before device_put:
+    # device_put zero-copy ALIASES host numpy buffers (alignment-
+    # dependent), so handing it a reused buffer corrupts earlier
+    # batches' device arrays once the stream outgrows the buffer pool
+    # (r4 advisor finding, reproduced at 20 MiB).  The copy is the
+    # fix, not more buffers: nothing bounds how late the backend
+    # materializes a transfer.
+    b_u8 = np.empty((W, rb_id * 128), np.uint8)
     outs = []
     done = 0
-    k = 0
     while done < dst_len:
-        b_u8 = sets[k % NSETS]
-        k += 1
         cnt = 0
         while cnt < W and done < dst_len:
             seg = min(_RAW_SEG, dst_len - done)
@@ -1032,7 +1042,7 @@ def decompress_to_device(data: bytes) -> "jax.Array":
             img[:65536] = img[seg:seg + 65536].copy()
             done += seg
             cnt += 1
-        outs.append(jax.device_put(b_u8[:cnt]))
+        outs.append(jax.device_put(b_u8[:cnt].copy()))
     if int(state[0]) != len(data) or state[3] or state[5]:
         raise CorruptError("raw stream length disagrees with preamble")
     return jnp.concatenate([o.reshape(-1) for o in outs])[:dst_len]
@@ -1045,7 +1055,10 @@ def stage_id_rows(src_arr: np.ndarray, grp, b_u8: np.ndarray,
     compressed chunks decode via the threaded C++ id walk in contiguous
     runs, uncompressed chunks ARE their payload; dlens/want are filled
     per row (rows past len(grp) are left as the caller initialized
-    them).  Raises CorruptError on an invalid payload."""
+    them).  Raises CorruptError on an invalid payload.  Without the
+    native library the rows decode through the host np decoder instead
+    of raising (same contract, slower) — the dist entry points degrade
+    like the single-chip path does (r4 advisor finding)."""
     from snappy_tpu import native as _native
 
     comp_rows = []
@@ -1058,6 +1071,17 @@ def stage_id_rows(src_arr: np.ndarray, grp, b_u8: np.ndarray,
             _t, p_off, p_len, _c, _d, _h = ch
             b_u8[row, :p_len] = src_arr[p_off:p_off + p_len]
             b_u8[row, p_len:] = 0
+    if not _native.available():
+        for row in comp_rows:
+            _t, p_off, p_len, _c, dst_len, _h = grp[row]
+            blob = _host_decompress_raw(
+                bytes(src_arr[p_off:p_off + p_len]))
+            if len(blob) != dst_len:
+                raise CorruptError(
+                    "chunk preamble disagrees with decoded size")
+            b_u8[row, :dst_len] = np.frombuffer(blob, np.uint8)
+            b_u8[row, dst_len:] = 0
+        return
     r = 0
     while r < len(comp_rows):
         r2 = r

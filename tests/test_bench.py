@@ -4,7 +4,6 @@ VERDICT flagged as missing."""
 
 import json
 
-import numpy as np
 import pytest
 
 from snappy_tpu.bench import corpus, harness

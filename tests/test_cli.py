@@ -6,7 +6,6 @@ import os
 import pytest
 
 from snappy_tpu.cli.main import main
-from snappy_tpu.errors import EXIT_CORRUPT
 
 
 @pytest.fixture

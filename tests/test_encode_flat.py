@@ -6,7 +6,7 @@ flat executor must reproduce the host encoder's element byte-for-byte
 import numpy as np
 import pytest
 
-from snappy_tpu.kernels.decode_flat import NSUB, VEC
+from snappy_tpu.kernels.decode_flat import VEC
 from snappy_tpu.kernels.encode_flat import (
     ENC_TRIP_CAP,
     OUT_ROWS_ENC,

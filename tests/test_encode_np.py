@@ -2,7 +2,6 @@
 external C++ snappy, and the BASELINE ratio bound (compressed size <= the
 reference codec's on every input)."""
 
-import random
 
 import numpy as np
 import pytest

@@ -3,7 +3,6 @@
 Mosaic compile is exercised on TPU by the bench/runtime."""
 
 import numpy as np
-import pytest
 
 from snappy_tpu.kernels.pallas_decode import VEC, decode_blocks_pallas
 from snappy_tpu.spec import reference

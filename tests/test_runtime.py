@@ -1,9 +1,7 @@
 """L2 runtime: production batched device codec vs the oracle, through the
 public API backend registry."""
 
-import os
 
-import numpy as np
 import pytest
 
 import snappy_tpu

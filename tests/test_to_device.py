@@ -81,6 +81,22 @@ class TestRawToDevice:
         dev = device_codec.decompress_to_device(raw)
         assert bytes(np.asarray(dev)) == b""
 
+    def test_many_batches_no_staging_alias(self, rng, on_tpu,
+                                           monkeypatch):
+        """Regression for the r4 advisor's high finding: device_put
+        zero-copy aliases host numpy buffers, so a reused staging
+        buffer corrupts earlier batches' device arrays once the stream
+        spans more batches than the buffer pool.  BATCH=2 makes a
+        ~2 MiB stream cover 16 batches (the production shape at 12+
+        MiB); every byte must survive the final concatenate."""
+        monkeypatch.setattr(device_codec, "BATCH", 2)
+        data = _mix(rng, 65536 * 31 + 4242)
+        raw = native.compress(data)
+        dev = device_codec.decompress_to_device(raw)
+        got = bytes(np.asarray(dev))
+        assert got[:65536] == data[:65536]  # first batch intact
+        assert got == data
+
     def test_id_seg_stager_parity_vs_host(self, rng, on_tpu):
         """Per-segment identity staging reproduces the host decode at
         every 64 KiB boundary split."""

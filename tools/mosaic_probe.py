@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import sys
 import time
-import traceback
 
 import numpy as np
 

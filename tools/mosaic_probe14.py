@@ -23,7 +23,6 @@ from snappy_tpu.utils.jaxcache import setup_compilation_cache
 
 setup_compilation_cache()
 
-import functools
 import os
 
 import jax

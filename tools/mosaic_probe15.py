@@ -6,7 +6,6 @@ contribution (B rows, meta rows, out panel rows, f32 vs bf16 out).
 Usage: python tools/mosaic_probe15.py [B]
 """
 
-import functools
 import sys
 import time
 

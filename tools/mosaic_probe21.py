@@ -8,11 +8,9 @@ Run on the real TPU; each probe compiles + executes + checks numerics.
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import functools
 import numpy as np
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 from snappy_tpu.utils.jaxcache import setup_compilation_cache
 setup_compilation_cache()
 

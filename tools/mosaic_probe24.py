@@ -12,7 +12,6 @@ scalar-prefetched plan words, RMW compose) to pick the v3 formulation:
 
 Run: python tools/mosaic_probe24.py
 """
-import functools
 import os
 import sys
 import time
