@@ -10,8 +10,9 @@ Layers (SURVEY.md §7.1):
 
 Public API (L4): compress / decompress (raw block format),
 compress_framed / decompress_framed (.sz framed format), and the
-device-resident decode pair decompress_to_device /
-decompress_framed_to_device (decode-to-HBM data loading).
+device-resident pair decompress_to_device /
+decompress_framed_to_device (decode-to-HBM data loading) and
+compress_framed_from_device (HBM array -> framed bytes, CRC on MXU).
 """
 
 from snappy_tpu.errors import (
@@ -38,6 +39,7 @@ __all__ = [
     "decompress_framed",
     "decompress_to_device",
     "decompress_framed_to_device",
+    "compress_framed_from_device",
     "__version__",
 ]
 
@@ -47,7 +49,8 @@ def __getattr__(name):
     # codec entry point is actually used.
     if name in ("compress", "decompress", "compress_framed",
                 "decompress_framed", "decompress_to_device",
-                "decompress_framed_to_device"):
+                "decompress_framed_to_device",
+                "compress_framed_from_device"):
         from snappy_tpu import api
 
         return getattr(api, name)

@@ -132,3 +132,14 @@ def decompress_framed_to_device(data: bytes, verify_checksums: bool = True):
     from snappy_tpu.runtime import device_codec
 
     return device_codec.decompress_framed_to_device(data, verify_checksums)
+
+
+def compress_framed_from_device(arr) -> bytes:
+    """Compress a DEVICE-RESIDENT uint8 jax.Array into a framed (.sz)
+    stream (the encode half of the data-loader path: per-chunk
+    CRC-32C computed on the MXU before any byte leaves HBM; the D2H
+    row fetch overlaps the threaded host matcher).  Byte-identical to
+    compress_framed(bytes(arr))."""
+    from snappy_tpu.runtime import device_codec
+
+    return device_codec.compress_framed_from_device(arr)

@@ -15,6 +15,7 @@ Design (SURVEY.md §7.4, BASELINE configs 4-5):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ __all__ = [
     "sharded_encode_flat",
     "sharded_decode_id",
     "sharded_decompress_framed_to_device",
+    "sharded_compress_framed_from_device",
     "sharded_crc",
     "stage_dec_id_batch",
     "roundtrip_step",
@@ -391,6 +393,93 @@ def sharded_decompress_framed_to_device(
         for i in np.nonzero(err_h == 100)[0]:
             raise ChecksumError(chunks[int(i)][3], None)
     return out, dlens[:B], min(B, b)
+
+
+def sharded_compress_framed_from_device(
+    mesh: Mesh, rows, lens: np.ndarray,
+) -> bytes:
+    """Stream-level from-device ENCODE over the mesh (the encode half
+    of the data-loader story; decode half is
+    sharded_decompress_framed_to_device, whose (rows, dst_lens, b)
+    output this accepts directly): chunk rows living sharded in HBM
+    become one framed .sz stream.  Per-chunk CRC-32C runs on each
+    device's MXU shard with ZERO collectives (chunk independence);
+    the D2H row fetch feeds the threaded C++ matcher; assembly is
+    chunk-ordered on host, so no cross-host length gather is needed
+    beyond what dist.multihost already does for host-split streams.
+
+    rows: uint8[B, 65536] jax.Array (any sharding; re-sharded over
+    'd' if needed — B must be a mesh multiple, as the loader returns).
+    lens: int[b] valid byte count per row, b <= B; rows past b are
+    padding and emit nothing.  Byte-identical to
+    compress_framed(concat of the row bytes)."""
+    from snappy_tpu import native
+    from snappy_tpu.kernels.crc32c_jnp import CHUNK as _CRC_CHUNK, crc32c_chunks
+    from snappy_tpu.spec.format import (
+        CHUNK_UNCOMPRESSED,
+        STREAM_ID_CHUNK,
+        framed_chunk_type,
+        mask_crc,
+        put_uvarint,
+    )
+
+    B = int(rows.shape[0])
+    b = len(lens)
+    assert rows.shape[1] == _CRC_CHUNK and b <= B
+    lens_p = np.zeros(B, np.int32)
+    lens_p[:b] = lens
+    sharding = NamedSharding(mesh, P("d"))
+    rows_d = jax.device_put(rows, sharding)
+    lens_d = jax.device_put(lens_p, sharding)
+    with mesh:
+        crc = jax.jit(jax.shard_map(
+            lambda r, ln: crc32c_chunks(r, ln), mesh=mesh,
+            in_specs=(P("d"), P("d")), out_specs=P("d"),
+        ))(rows_d, lens_d)
+    # D2H drains overlap the (already dispatched) CRC graph
+    for h in (rows_d, crc):
+        if hasattr(h, "copy_to_host_async"):
+            h.copy_to_host_async()
+    blocks = np.asarray(rows_d)[:b]
+    crcs = np.asarray(crc)[:b]
+    out = bytearray(STREAM_ID_CHUNK)
+    if b == 0:
+        return bytes(out)
+    if native.available():
+        lens64 = lens_p[:b].astype(np.int64)
+        clens64 = np.zeros(b, np.int64)
+        hdrs64 = np.zeros(b, np.int64)
+        rc64 = np.zeros(b, np.int64)
+        elem_buf = np.empty(
+            (b, native.max_compressed_length(_CRC_CHUNK) + 8), np.uint8)
+        bad = native.compress_batch(
+            blocks, lens64, elem_buf, clens64, hdrs64, rc64,
+            n_threads=min(4, os.cpu_count() or 1))
+        if bad:  # pragma: no cover
+            raise RuntimeError("native compressor rejected a block")
+        elems = [
+            elem_buf[i, int(hdrs64[i]):int(clens64[i])].tobytes()
+            for i in range(b)
+        ]
+    else:  # portable degrade: per-chunk oracle encode
+        from snappy_tpu.spec import reference
+
+        elems = [
+            reference.encode_block(blocks[i, :int(lens_p[i])].tobytes())
+            for i in range(b)
+        ]
+    for i in range(b):
+        chunk_len = int(lens_p[i])
+        body = put_uvarint(chunk_len) + elems[i]
+        chunk_type = framed_chunk_type(chunk_len, len(body))
+        if chunk_type == CHUNK_UNCOMPRESSED:
+            body = blocks[i, :chunk_len].tobytes()
+        blen = len(body) + 4
+        out += bytes((chunk_type, blen & 0xFF, (blen >> 8) & 0xFF,
+                      (blen >> 16) & 0xFF))
+        out += mask_crc(int(crcs[i])).to_bytes(4, "little")
+        out += body
+    return bytes(out)
 
 
 def sharded_crc(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray):

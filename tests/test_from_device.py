@@ -1,0 +1,122 @@
+"""Device-resident ENCODE (compress_framed_from_device + the mesh
+form): an HBM array becomes a framed stream with its per-chunk CRC-32C
+computed on the (virtual, in tests) device before the bytes leave.
+The emission must be byte-identical to compress_framed(bytes) — same
+matcher, same CRCs — which keeps the ratio bound structural."""
+
+import jax
+import numpy as np
+import pytest
+
+native = pytest.importorskip("snappy_tpu.native")
+if not native.available():  # pragma: no cover
+    pytest.skip("native library unavailable", allow_module_level=True)
+
+from snappy_tpu.errors import ChecksumError, CorruptError  # noqa: E402
+from snappy_tpu.runtime import device_codec  # noqa: E402
+
+
+@pytest.fixture()
+def on_tpu(monkeypatch):
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    monkeypatch.setattr(device_codec, "FLAT_MODE", "id")
+
+
+def _mix(rng, n):
+    return (b"from the device, framed " * 4096 + rng.randbytes(n))[:n]
+
+
+class TestFromDevice:
+    def test_roundtrip_boundary_sizes(self, rng, on_tpu):
+        for n in (1, 1024, 65_536, 65_537, 131_072, 300_001):
+            data = _mix(rng, n)
+            arr = jax.device_put(np.frombuffer(data, np.uint8))
+            fr = device_codec.compress_framed_from_device(arr)
+            assert device_codec.decompress_framed(fr) == data, n
+
+    def test_byte_identical_to_host_path(self, rng, on_tpu):
+        """Same matcher, same CRC values: the from-device stream must
+        equal compress_framed(bytes) exactly."""
+        for n in (5_000, 65_536, 200_000):
+            data = _mix(rng, n)
+            arr = jax.device_put(np.frombuffer(data, np.uint8))
+            assert (device_codec.compress_framed_from_device(arr)
+                    == device_codec.compress_framed(data)), n
+
+    def test_empty(self, on_tpu):
+        arr = jax.device_put(np.zeros(0, np.uint8))
+        fr = device_codec.compress_framed_from_device(arr)
+        assert device_codec.decompress_framed(fr) == b""
+
+    def test_incompressible_chunks_fall_back_uncompressed(self, rng,
+                                                          on_tpu):
+        data = rng.randbytes(150_000)  # random: every chunk stays raw
+        arr = jax.device_put(np.frombuffer(data, np.uint8))
+        fr = device_codec.compress_framed_from_device(arr)
+        assert len(fr) <= len(data) + 3 * 8 + 10  # headers only
+        assert device_codec.decompress_framed(fr) == data
+
+    def test_crc_detects_corruption(self, rng, on_tpu):
+        """The CRCs embedded by the device graph must catch a flipped
+        payload byte at decode time."""
+        data = _mix(rng, 180_000)
+        arr = jax.device_put(np.frombuffer(data, np.uint8))
+        fr = bytearray(device_codec.compress_framed_from_device(arr))
+        fr[40] ^= 0xFF
+        with pytest.raises((ChecksumError, CorruptError)):
+            device_codec.decompress_framed(bytes(fr))
+
+    def test_multi_batch(self, rng, on_tpu, monkeypatch):
+        monkeypatch.setattr(device_codec, "BATCH", 2)
+        data = _mix(rng, 65536 * 7 + 123)
+        arr = jax.device_put(np.frombuffer(data, np.uint8))
+        fr = device_codec.compress_framed_from_device(arr)
+        assert device_codec.decompress_framed(fr) == data
+
+    def test_2d_input_flattens(self, rng, on_tpu):
+        data = _mix(rng, 131_072)
+        arr = jax.device_put(
+            np.frombuffer(data, np.uint8).reshape(2, 65536))
+        fr = device_codec.compress_framed_from_device(arr)
+        assert device_codec.decompress_framed(fr) == data
+
+    def test_wrong_dtype_raises(self, on_tpu):
+        with pytest.raises(ValueError):
+            device_codec.compress_framed_from_device(
+                jax.device_put(np.zeros(8, np.float32)))
+
+    def test_host_crc_fallback(self, rng, on_tpu, monkeypatch):
+        monkeypatch.setattr(device_codec, "DEVICE_CRC", False)
+        data = _mix(rng, 70_000)
+        arr = jax.device_put(np.frombuffer(data, np.uint8))
+        assert (device_codec.compress_framed_from_device(arr)
+                == device_codec.compress_framed(data))
+
+
+class TestMeshFromDevice:
+    def test_loader_roundtrip_through_mesh(self, rng, on_tpu):
+        """Full circle over the 8-device mesh: framed stream -> sharded
+        loader rows (CRC-verified on each shard) -> sharded from-device
+        encode -> framed stream -> original bytes; the re-encoded
+        stream must equal the single-chip host emission."""
+        from snappy_tpu.dist import mesh as dmesh
+
+        data = _mix(rng, 65536 * 5 + 999)
+        fr = device_codec.compress_framed(data)
+        mesh = dmesh.make_mesh()
+        rows, dlens, b = dmesh.sharded_decompress_framed_to_device(
+            mesh, fr)
+        fr2 = dmesh.sharded_compress_framed_from_device(
+            mesh, rows, dlens[:b])
+        assert device_codec.decompress_framed(fr2) == data
+        assert fr2 == device_codec.compress_framed(data)
+
+    def test_empty_rows(self, on_tpu):
+        from snappy_tpu.dist import mesh as dmesh
+
+        mesh = dmesh.make_mesh()
+        n = mesh.devices.size
+        rows = jax.device_put(np.zeros((n, 65536), np.uint8))
+        fr = dmesh.sharded_compress_framed_from_device(
+            mesh, rows, np.zeros(0, np.int32))
+        assert device_codec.decompress_framed(fr) == b""
