@@ -63,6 +63,28 @@ def _ref_sizes(files) -> dict[str, int]:
     return sizes
 
 
+def _relay_sync_probe(repeats: int = 7) -> list[float]:
+    """Relay health marker (VERDICT r4 #4): forced round-trips of a
+    trivial kernel, ms.  Returns [best, median, worst].  Emitted next
+    to every device phase so a reader can tell "kernel got slower"
+    from "relay was sick" without the git log — r4's capture showed a
+    3x per-engine swing with no in-JSON way to decide which."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: jnp.sum(x) + 1)
+    x = jax.device_put(np.ones(128, np.float32))
+    np.asarray(f(x))  # warm (compile + first exec)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts.sort()
+    return [round(ts[0], 2), round(ts[len(ts) // 2], 2),
+            round(ts[-1], 2)]
+
+
 def _device_path_bench(data: bytes, repeats: int) -> dict:
     """Stage K distinct batches resident; time dispatch->forced-completion."""
     import jax
@@ -513,6 +535,7 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         "device_batch_bytes": total,
         "device_decode_times_s": [round(t, 3) for t in dec_times],
         "device_encode_times_s": [round(t, 3) for t in enc_times],
+        "device_relay_sync_ms": _relay_sync_probe(),
     }
     if hyb_times:
         # the production framed path (host tag parse + lighter kernel);
@@ -896,6 +919,7 @@ def _system_path_bench(data: bytes, repeats: int,
     out: dict = {
         "system_bytes": total,
         "system_flat_mode": mode,
+        "system_relay_sync_ms": _relay_sync_probe(),
         "system_h2d_gbs_measured": round(h2d_gbs, 4),
         "system_h2d_bytes_per_out_byte": round(h2d_per_byte, 3),
         "system_note": (
@@ -927,6 +951,77 @@ def _system_path_bench(data: bytes, repeats: int,
         assert bad == 0
     out["system_device_only_dec_gbs"] = round(total / 1e9 / min(times), 4)
 
+    # FUSED-dispatch arrangement (VERDICT r4 #1: close the dispatch
+    # gap): ONE device call per pass over the whole resident volume.
+    # The r4 decomposition showed the pipelined clock = plan + dispatch
+    # because each of the n_batches dispatches holds the GIL (~0.13
+    # ms/MB through the relay) and stalls the next stage call's entry.
+    # A single fused dispatch pays the per-call floor once and holds
+    # the GIL in the dispatcher thread for ONE window while the plan
+    # pool (GIL-free C++) runs beside it — the production analog is a
+    # per-pass graph with double-buffered passes.
+    if mode == "id":
+        all_rows = jnp.concatenate([d[0] for d in dec_dev])
+        want_all = jnp.concatenate(
+            [want_dev[k] for k in range(n_batches)])
+        dlens_all = jax.device_put(
+            np.full(n_batches * B, BMAX, np.int32))
+        _ = np.asarray(jax.jit(jnp.sum)(all_rows[:, :1]))  # force concat
+
+        @jax.jit
+        def _dec_graph_id_all(rows, want_k, dlens_k):
+            nb = rows.shape[0]
+            o = rows.reshape(nb, ID_ROWS, 128)[:, :512].reshape(
+                nb, 512 * 128)
+            crc = crc32c_chunks(o, dlens_k)
+            return jnp.sum((crc != want_k).astype(jnp.int32))
+
+        all_blocks = jnp.concatenate([d[0] for d in enc_dev])
+        _ = np.asarray(jax.jit(jnp.sum)(all_blocks[:, :1]))
+
+        @jax.jit
+        def _enc_graph_id_all(blocks_k, dlens_k):
+            crc = crc32c_chunks(blocks_k, dlens_k)
+            return jnp.sum(crc.astype(jnp.int32) & 1)
+
+        def dec_pass_fused():
+            fut = _dispatcher.submit(
+                _dec_graph_id_all, all_rows, want_all, dlens_all)
+            for k in range(n_batches):
+                _stage_dec_batch(k, dec_sets[k % NSETS])
+            return int(np.asarray(fut.result()))
+
+        def enc_pass_fused():
+            fut = _dispatcher.submit(
+                _enc_graph_id_all, all_blocks, dlens_all)
+            for k in range(n_batches):
+                _stage_enc_batch(k, enc_sets[k % NSETS])
+            return int(np.asarray(fut.result()))
+
+        assert dec_pass_fused() == 0  # warmup (compile + first exec)
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            bad = dec_pass_fused()
+            times.append(time.perf_counter() - t0)
+            assert bad == 0, "fused system decode: device CRC mismatch"
+        out["system_decompress_fused_gbs"] = round(
+            total / 1e9 / min(times), 4)
+        enc_pass_fused()  # warmup
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            enc_pass_fused()
+            times.append(time.perf_counter() - t0)
+        out["system_compress_fused_gbs"] = round(
+            total / 1e9 / min(times), 4)
+        # headline: best production arrangement, decomposition retained
+        if out["system_decompress_fused_gbs"] > out["system_decompress_gbs"]:
+            out["system_decompress_pipelined_gbs"] = out[
+                "system_decompress_gbs"]
+            out["system_decompress_gbs"] = out[
+                "system_decompress_fused_gbs"]
+
     enc_pass()  # warmup
     times = []
     for _ in range(repeats):
@@ -943,14 +1038,98 @@ def _system_path_bench(data: bytes, repeats: int,
         enc_pass(plan_on_host=False)
         times.append(time.perf_counter() - t0)
     out["system_device_only_enc_gbs"] = round(total / 1e9 / min(times), 4)
+    if out.get("system_compress_fused_gbs", 0) > out["system_compress_gbs"]:
+        out["system_compress_pipelined_gbs"] = out["system_compress_gbs"]
+        out["system_compress_gbs"] = out["system_compress_fused_gbs"]
+
+    # From-device encode (the round-5 API surface): the chunk rows
+    # already live in HBM (enc_dev); the clock covers device CRC
+    # dispatch + host matcher + full framed assembly, with the D2H row
+    # fetch elided as transport (same accounting discipline as every
+    # system field; the measured fetch rate is reported alongside).
+    if mode == "id":
+        from snappy_tpu.spec.format import (
+            framed_chunk_type as _fct,
+            mask_crc as _mask,
+            put_uvarint as _puv,
+        )
+
+        _crc_rows = jax.jit(crc32c_chunks)
+
+        def fromdev_pass():
+            crcs = [_crc_rows(enc_dev[k][0], dlens_dev)
+                    for k in range(n_batches)]  # all dispatched async
+            bufs = []
+            slots = []  # (batch, offset): CRC patch sites
+            for k in range(n_batches):
+                _stage_enc_batch(k, enc_sets[k % NSETS])
+                buf = bytearray()
+                blocks = blocks_np[k]
+                for i in range(B):
+                    blob = elem_buf[
+                        i, int(hdr64[i]):int(clen64[i])].tobytes()
+                    body = _puv(BMAX) + blob
+                    ctype = _fct(BMAX, len(body))
+                    if ctype == 0x01:
+                        body = blocks[i].tobytes()
+                    blen = len(body) + 4
+                    buf += bytes((ctype, blen & 0xFF,
+                                  (blen >> 8) & 0xFF, (blen >> 16) & 0xFF))
+                    slots.append((k, len(buf)))
+                    buf += b"\x00\x00\x00\x00"
+                    buf += body
+                bufs.append(buf)
+            crc_all = np.asarray(jnp.concatenate(crcs))  # ONE sync
+            for j, (k, off) in enumerate(slots):
+                bufs[k][off:off + 4] = _mask(
+                    int(crc_all[j])).to_bytes(4, "little")
+            return bufs
+
+        fromdev_pass()  # warmup
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fromdev_pass()
+            times.append(time.perf_counter() - t0)
+        out["system_compress_from_device_gbs"] = round(
+            total / 1e9 / min(times), 4)
+        # measured D2H so the elided row fetch is quantified in-band
+        t0 = time.perf_counter()
+        _fetch = np.asarray(enc_dev[0][0])
+        out["system_d2h_fetch_gbs"] = round(
+            _fetch.nbytes / 1e9 / max(time.perf_counter() - t0, 1e-9), 4)
+        del _fetch
+        out["system_from_device_note"] = (
+            "device CRC dispatch + host matcher + framed assembly in "
+            "one clock over HBM-resident rows; D2H row fetch elided as "
+            "transport (measured rate in system_d2h_fetch_gbs)")
+
+        # coupled run of the REAL API (transport included) at a
+        # relay-tolerable volume: makes the elision falsifiable
+        kc_fd = max(1, min(n_batches, (32 << 20) // (B * BMAX)))
+        arr_fd = all_blocks[:kc_fd * B].reshape(-1)
+        from snappy_tpu.runtime import device_codec as _dc
+
+        fr_fd = _dc.compress_framed_from_device(arr_fd)  # warm/compile
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fr_fd = _dc.compress_framed_from_device(arr_fd)
+            times.append(time.perf_counter() - t0)
+        assert native.decompress_framed(fr_fd) == bytes(
+            data[:kc_fd * B * BMAX]), "from-device coupled roundtrip"
+        out["compress_from_device_coupled_gbs"] = round(
+            kc_fd * B * BMAX / 1e9 / min(times), 4)
+        out["compress_from_device_coupled_bytes"] = kc_fd * B * BMAX
 
     # Fully-coupled variant (r3 advisor): stage + REAL device transfer
     # + execute in one clock, so the relay-elision claim is directly
     # falsifiable where transfers are sane (healthy hosts, CPU runs).
-    # Env-gated and volume-capped because through this relay the
-    # transfer drains at ~0.04 GB/s — a full-volume coupled pass would
-    # take hours and measure only the tunnel.
-    if os.environ.get("SNAPPY_TPU_SYS_COUPLED", "0") == "1":
+    # ON by default in the capture of record since r5 (VERDICT r4 #5),
+    # volume-capped because through this relay the transfer drains at
+    # ~0.04 GB/s — a full-volume coupled pass would take hours and
+    # measure only the tunnel.
+    if os.environ.get("SNAPPY_TPU_SYS_COUPLED", "1") == "1":
         kc = max(1, min(n_batches, (32 << 20) // (B * BMAX)))
         ctotal = kc * B * BMAX
 
@@ -1009,6 +1188,28 @@ def _system_path_bench(data: bytes, repeats: int,
         "MB resident volume — the bar the system path must clear")
     _dispatcher.shutdown()
     return out
+
+
+def _long_stream_bench() -> dict:
+    """Config-4 long-stream phase (VERDICT r4 #7) in a CPU-pinned
+    subprocess so peak RSS is the phase's own; see longstream_sub."""
+    import json as _json
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "snappy_tpu.bench.longstream_sub"],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("LONGSTREAM_JSON "):
+                return _json.loads(line[len("LONGSTREAM_JSON "):])
+        return {"stream_error": (r.stderr or r.stdout)[-200:]}
+    except Exception as e:  # pragma: no cover
+        return {"stream_error": repr(e)[:200]}
 
 
 def _scaling_bench_subprocess() -> dict:
@@ -1260,6 +1461,17 @@ def run_bench(
             except Exception as e:  # pragma: no cover - keep bench alive
                 sys_res = {"system_path_error": repr(e)[:200]}
 
+    # -- config-4 long-stream phase (>=1 GB single streams, own RSS) ------
+    stream_res = {}
+    if backend == "jnp" and os.environ.get(
+        "SNAPPY_TPU_BENCH_STREAM", "1"
+    ) != "0":
+        from snappy_tpu import native as _native
+
+        if _native.available():
+            note("long-stream phase (1 GiB framed + raw, subprocess)...")
+            stream_res = _long_stream_bench()
+
     note("ratio parity phase...")
     # -- ratio parity (host np backend: the same parse the device runs) --
     ref_sizes = _ref_sizes(files)
@@ -1297,6 +1509,7 @@ def run_bench(
     }
     result.update(dev)
     result.update(sys_res)
+    result.update(stream_res)
     if backend == "jnp":
         try:
             result.update(scaling_bench(repeats))

@@ -171,6 +171,13 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
             ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64),
         ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.sn_enc_study.restype = ctypes.c_int64
+        lib.sn_enc_study.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i64p, u8p,
+            ctypes.c_int64, i64p, ctypes.c_int64, u64p,
+        ]
         lib.sn_compress_framed.restype = ctypes.c_int64
         lib.sn_compress_framed.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int,
@@ -420,6 +427,31 @@ def compress_batch(blocks: np.ndarray, lens: np.ndarray,
         _as_u8p(blocks), blocks.shape[1], _i64p(lens), B,
         _as_u8p(elem_out), elem_out.shape[1], _i64p(clens_out),
         _i64p(hdrs_out), _i64p(rc_out), n_threads))
+
+
+def enc_study(blocks: np.ndarray, lens: np.ndarray, dst: np.ndarray,
+              out_lens: np.ndarray, variant: int,
+              stats: np.ndarray | None = None) -> int:
+    """Encode-rate study runner (tools/enc_study.py; VERDICT r4 #3):
+    run one matcher variant over a block batch.  variant 0 = baseline
+    clone (byte-identical to sn_compress's block emission), 1 = same
+    control flow without emission writes, 2 = epoch-tagged table (no
+    per-block memset), 9 = counter instrumentation into stats[8].
+    Releases the GIL (plain ctypes call) so a Python thread pool
+    measures the pooled rate honestly.  Returns total emitted bytes."""
+    lib = _load()
+    B = out_lens.shape[0]
+    for a in (lens, out_lens):
+        assert a.dtype == np.int64 and a.flags.c_contiguous
+    assert blocks.dtype == np.uint8 and blocks.flags.c_contiguous
+    assert dst.dtype == np.uint8 and dst.flags.c_contiguous
+    if stats is None:
+        stats = np.zeros(8, np.uint64)
+    assert stats.dtype == np.uint64 and stats.size >= 8
+    return int(lib.sn_enc_study(
+        _as_u8p(blocks), B, blocks.shape[1], _i64p(lens),
+        _as_u8p(dst), dst.shape[1], _i64p(out_lens), variant,
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))))
 
 
 def emit_from_cands(block: bytes | np.ndarray, packed: np.ndarray) -> bytes:

@@ -18,7 +18,6 @@ dist/ without any shared state (SURVEY.md §7.4).
 from __future__ import annotations
 
 import os
-import threading
 
 import jax
 import numpy as np
@@ -148,63 +147,17 @@ FLAT = os.environ.get("SNAPPY_TPU_FLAT", "1") != "0"
 FLAT_MODE = os.environ.get("SNAPPY_TPU_FLAT_MODE", "id")
 _ID_ROWS = 520  # 512 image rows + 8 guard rows (wide-copy slop)
 
-# Device-match encode engine (kernels/pallas_match + sn_emit_from_cands):
-# the CHIP finds the match candidates (sort-based, collision-free); the
-# host extends lengths and emits.  Opt-in — its on-chip search is the
-# genuine-device-compression claim, but the flat engine's host-matcher
-# replay is faster end to end (docs/performance.md roofline).  With the
-# guard on (default), every block's emission is compared against the
-# reference encoder and the smaller wins, making the per-input ratio
-# bound structural (aggregate, the device candidates are ~4% SMALLER;
-# the guard exists for the ~1-in-7 blocks a few bytes over).
-DEVMATCH = os.environ.get("SNAPPY_TPU_DEVMATCH", "0") == "1"
-# Guard modes (SNAPPY_TPU_DEVMATCH_GUARD):
-#   "1" (default)  every block's emission compared against the
-#                  reference encoder, smaller wins — the per-input
-#                  ratio bound (BASELINE) stays structural; costs one
-#                  host encode per block (~107 us).
-#   "sample"       1-in-16 blocks guarded (VERDICT r3 #2's cheaper
-#                  guard): ~6% of the guard cost, keeps a running
-#                  statistical check that the aggregate stays below
-#                  reference, but individual unguarded blocks may
-#                  exceed it by a few bytes — choose this only when
-#                  the aggregate bound is the requirement.
-#   "0"            off (pure device-candidate throughput).
-DEVMATCH_GUARD = os.environ.get("SNAPPY_TPU_DEVMATCH_GUARD", "1")
-if DEVMATCH_GUARD not in ("0", "1", "sample"):
-    DEVMATCH_GUARD = "1"
-
-# Host planning pool: per-row plans are independent and the native
-# calls release the GIL; 4 workers roughly match the planner's
-# single-thread rate to the device kernel's.
-_PLAN_POOL = None
-_plan_scratch = threading.local()
-
-
-def _plan_pool():
-    global _PLAN_POOL
-    if _PLAN_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _PLAN_POOL = ThreadPoolExecutor(
-            max_workers=min(4, os.cpu_count() or 1),
-            thread_name_prefix="snappy-plan",
-        )
-    return _PLAN_POOL
-
-
-def _plan_elem_tls() -> np.ndarray:
-    """Per-thread encode-stage element scratch (worst-case 64 KiB
-    block emission; stage_flat_enc writes the host element here)."""
-    s = getattr(_plan_scratch, "elem", None)
-    if s is None:
-        from snappy_tpu import native
-
-        s = np.empty(native.max_compressed_length(MAX_BLOCK_SIZE) + 8,
-                     np.uint8)
-        _plan_scratch.elem = s
-    return s
-
+# Device-match engine: PARKED as evidence (round 5, VERDICT r4 #6).
+# The chip-side candidate search (kernels/pallas_match, 0.39 GB/s/chip
+# measured) remains a first-class kernel with tests, bench fields
+# (device_match_gbs / device_match_emit_gbs), the mesh form
+# (dist.mesh.sharded_match) and dryrun coverage — but the runtime
+# engine flag is gone: the candidate-driven host emitter
+# (sn_emit_from_cands, 0.19 GB/s/core, extend-bound) is strictly
+# dominated by the hash-table matcher (0.67 GB/s/core after the r5
+# interleaving), so end to end the engine could never be selected on
+# merit, and its default guard burned a full host encode per block.
+# Burial: docs/architecture.md; measurements: docs/performance.md.
 
 _ENC_ELEM_BATCH: np.ndarray | None = None
 
@@ -338,8 +291,6 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int,
     # Needs 64 KiB rows (crc32c_chunks' fixed width).
     use_enc_id = (use_flat_enc and FLAT_MODE == "id"
                   and bmax == MAX_CHUNK_UNCOMPRESSED)
-    # device-match engine (opt-in): the chip runs the candidate search
-    use_devmatch = DEVMATCH and _native.available()
     handles = []
     counts = []
     lens_all = []
@@ -355,7 +306,7 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int,
             chunk = data[off : off + chunk_size]
             arr[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
             lens[i] = len(chunk)
-        if use_enc_id and not use_devmatch:
+        if use_enc_id:
             # dispatch the device CRC first (async), then run the host
             # matcher while the chip checksums the same blocks; no
             # dispatch at all when the caller has no use for the CRC
@@ -382,20 +333,7 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int,
             counts.append(cnt)
             lens_all.append(lens)
             continue
-        if use_devmatch:
-            from snappy_tpu.kernels import pallas_match
-
-            slots = max(4096, bmax)
-            blocks = [arr[i, : lens[i]].tobytes() for i in range(BATCH)]
-            w_i32, npos_arr = pallas_match.stage_words(blocks, slots)
-            # home=False: the kernel skips its second sort (~1.8x) and
-            # ships sorted (position, packed) pairs; scatter_home on
-            # fetch is one vectorized np write per block
-            pairs = pallas_match._match_jit(
-                jnp.asarray(w_i32), jnp.asarray(npos_arr),
-                interpret=not _pallas_enabled(), group=1, home=False)
-            handles.append(("devmatch", (pairs, None, None)))
-        elif use_flat_enc:
+        if use_flat_enc:
             from snappy_tpu.kernels.encode_flat import (
                 ENC_TRIP_CAP,
                 RB_ENC,
@@ -450,12 +388,9 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int,
         counts.append(cnt)
         lens_all.append(lens)
     # overlap the (slow) D2H fetches: start async copies of the small
-    # outputs for every batch before consuming any (devmatch fetches
-    # its whole candidate image — still 4x smaller than re-upload)
+    # outputs for every batch before consuming any
     for engine, (comp, clen, ok) in handles:
-        if engine == "devmatch":
-            targets = (comp, clen, ok)
-        elif engine == "hostenc":
+        if engine == "hostenc":
             targets = (comp,) if comp is not None else ()  # CRC vector
         else:
             targets = (clen, ok)
@@ -470,29 +405,6 @@ def _encode_batches(data: bytes | memoryview, chunk_size: int,
             for i, blob in enumerate(clen):  # clen slot carries blobs
                 yield (base + i, int(lens_all[bi][i]), blob,
                        int(crc_np[i]) if crc_np is not None else None)
-            continue
-        if engine == "devmatch":
-            # fetch sorted pairs, scatter home, emit on the host pool;
-            # the guard makes the per-input ratio bound structural
-            from snappy_tpu.kernels import pallas_match
-
-            packed_h = np.ascontiguousarray(
-                pallas_match.scatter_home(np.asarray(comp)[:cnt]))
-
-            def _emit_row(i, _base=base, _packed=packed_h):
-                off = (_base + i) * chunk_size
-                blk = bytes(data[off : off + chunk_size])
-                body = _native.emit_from_cands(blk, _packed[i])
-                guard = DEVMATCH_GUARD == "1" or (
-                    DEVMATCH_GUARD == "sample" and (_base + i) % 16 == 0)
-                if guard:
-                    ref = _oracle_block(blk)
-                    if len(ref) < len(body):
-                        body = ref
-                return i, blk, body
-
-            for i, blk, body in _plan_pool().map(_emit_row, range(cnt)):
-                yield base + i, len(blk), body, None
             continue
         clen_h = np.asarray(clen)[:cnt]
         ok_h = np.asarray(ok)[:cnt] if ok is not None else np.ones(cnt, bool)

@@ -173,39 +173,3 @@ def test_kernel_host_scatter_route():
     for i, blk in enumerate(blocks):
         ref = match_np.find_candidates(blk).astype(np.int32)[:4096]
         assert (got[i] == ref).all(), i
-
-
-def test_devmatch_engine_roundtrip_and_guard(monkeypatch):
-    """The runtime devmatch engine: framed roundtrip through the real
-    kernel (interpret), and the per-block ratio guard demonstrably
-    choosing the smaller emission (forced both ways by swapping the
-    device emitter for an all-literal one)."""
-    from snappy_tpu import native
-    from snappy_tpu.runtime import device_codec
-    from snappy_tpu.spec import reference as _oracle
-
-    rng = _rng()
-    monkeypatch.setattr(device_codec, "DEVMATCH", True)
-    monkeypatch.setattr(device_codec, "BATCH", 4)
-    data = (b"framed devmatch engine " * 120 + rng.bytes(1500)) * 2
-    fr = device_codec.compress_framed(data, chunk_size=2048)
-    assert device_codec.decompress_framed(fr) == data
-
-    # force the device emitter to an all-literal emission (valid but
-    # bigger on compressible blocks): with the guard ON the reference
-    # emission must win, so the frame matches the flat/native output
-    def literal_emit(blk, packed):
-        out = bytearray()
-        _oracle.emit_literal(out, bytes(blk))
-        return bytes(out)
-
-    monkeypatch.setattr(native, "emit_from_cands", literal_emit)
-    fr_guarded = device_codec.compress_framed(data, chunk_size=2048)
-    assert device_codec.decompress_framed(fr_guarded) == data
-    assert len(fr_guarded) < len(data)  # the guard rescued the ratio
-
-    # guard OFF: the (bad) devmatch emission ships as-is
-    monkeypatch.setattr(device_codec, "DEVMATCH_GUARD", "0")
-    fr_raw = device_codec.compress_framed(data, chunk_size=2048)
-    assert device_codec.decompress_framed(fr_raw) == data
-    assert len(fr_raw) > len(fr_guarded)
