@@ -37,6 +37,7 @@ __all__ = [
     "sharded_decode_id",
     "sharded_decompress_framed_to_device",
     "sharded_compress_framed_from_device",
+    "sharded_encode_rows_to_chunks",
     "sharded_crc",
     "stage_dec_id_batch",
     "roundtrip_step",
@@ -423,6 +424,28 @@ def sharded_compress_framed_from_device(
         put_uvarint,
     )
 
+    return bytes(STREAM_ID_CHUNK) + b"".join(
+        sharded_encode_rows_to_chunks(mesh, rows, lens))
+
+
+def sharded_encode_rows_to_chunks(
+    mesh: Mesh, rows, lens: np.ndarray,
+) -> list[bytes]:
+    """From-device encode to PER-CHUNK framed records (header + masked
+    CRC + payload, no stream id): the composable form —
+    sharded_compress_framed_from_device prepends the stream id for a
+    whole stream; dist.multihost.host_compress_framed_from_device
+    allgathers the record lengths and pwrites records at global
+    offsets (the same assembly contract as host_compress_framed)."""
+    from snappy_tpu import native
+    from snappy_tpu.kernels.crc32c_jnp import CHUNK as _CRC_CHUNK, crc32c_chunks
+    from snappy_tpu.spec.format import (
+        CHUNK_UNCOMPRESSED,
+        framed_chunk_type,
+        mask_crc,
+        put_uvarint,
+    )
+
     B = int(rows.shape[0])
     b = len(lens)
     assert rows.shape[1] == _CRC_CHUNK and b <= B
@@ -440,11 +463,10 @@ def sharded_compress_framed_from_device(
     for h in (rows_d, crc):
         if hasattr(h, "copy_to_host_async"):
             h.copy_to_host_async()
+    if b == 0:
+        return []
     blocks = np.asarray(rows_d)[:b]
     crcs = np.asarray(crc)[:b]
-    out = bytearray(STREAM_ID_CHUNK)
-    if b == 0:
-        return bytes(out)
     if native.available():
         lens64 = lens_p[:b].astype(np.int64)
         clens64 = np.zeros(b, np.int64)
@@ -468,6 +490,7 @@ def sharded_compress_framed_from_device(
             reference.encode_block(blocks[i, :int(lens_p[i])].tobytes())
             for i in range(b)
         ]
+    recs = []
     for i in range(b):
         chunk_len = int(lens_p[i])
         body = put_uvarint(chunk_len) + elems[i]
@@ -475,11 +498,11 @@ def sharded_compress_framed_from_device(
         if chunk_type == CHUNK_UNCOMPRESSED:
             body = blocks[i, :chunk_len].tobytes()
         blen = len(body) + 4
-        out += bytes((chunk_type, blen & 0xFF, (blen >> 8) & 0xFF,
-                      (blen >> 16) & 0xFF))
-        out += mask_crc(int(crcs[i])).to_bytes(4, "little")
-        out += body
-    return bytes(out)
+        recs.append(
+            bytes((chunk_type, blen & 0xFF, (blen >> 8) & 0xFF,
+                   (blen >> 16) & 0xFF))
+            + mask_crc(int(crcs[i])).to_bytes(4, "little") + body)
+    return recs
 
 
 def sharded_crc(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray):

@@ -30,6 +30,7 @@ __all__ = [
     "host_compress_framed",
     "host_decompress_framed",
     "host_decompress_framed_to_device",
+    "host_compress_framed_from_device",
     "gather_lengths",
     "main",
 ]
@@ -138,6 +139,31 @@ def host_decompress_framed_to_device(src: bytes, process_id: int,
     rows, dlens, b = dmesh.sharded_decompress_framed_to_device(
         mesh, src, verify_checksums, chunk_range=(lo, cnt))
     return rows, dlens[:b], lo, cnt
+
+
+def host_compress_framed_from_device(rows, lens: np.ndarray, mesh=None):
+    """Encode this host's DEVICE-RESIDENT chunk rows into framed chunk
+    records (the from-device multi-host encode — config 5 with the
+    payload starting in HBM, e.g. straight from the loader or a model):
+    per-chunk CRC-32C runs on the local mesh's MXUs before the rows
+    leave the chips, the local matcher emits, and the caller assembles
+    exactly as with host_compress_framed — allgather the lengths (the
+    one DCN collective), exclusive-scan offsets, pwrite disjoint
+    ranges.  Returns (bodies, lengths).
+
+    rows: uint8[B, 65536] jax.Array on this host's devices (B a local
+    mesh multiple, as host_decompress_framed_to_device returns); lens:
+    valid bytes per row.  Full circle with that loader:
+    rows in -> records out, bit-identical to the host-bytes path."""
+    import jax
+
+    from snappy_tpu.dist import mesh as dmesh
+
+    if mesh is None:
+        mesh = dmesh.make_mesh(devices=jax.local_devices())
+    bodies = dmesh.sharded_encode_rows_to_chunks(mesh, rows, lens)
+    lengths = np.array([len(b) for b in bodies], dtype=np.int64)
+    return bodies, lengths
 
 
 def gather_lengths(local_lengths: np.ndarray) -> np.ndarray:

@@ -132,3 +132,45 @@ def test_host_decompress_framed_to_device_partition(rng):
             got[lo + i] = np.asarray(rows[i, : dlens[i]]).tobytes()
     assert b"".join(got[i] for i in sorted(got)) == data
     assert sorted(got) == list(range(len(got)))
+
+
+def test_host_compress_from_device_full_circle(rng, monkeypatch):
+    """From-device multi-host encode (round 5): each simulated host
+    loads its chunk range onto its mesh (loader), re-encodes it from
+    the device rows, and the assembled stream — stream id + records at
+    allgathered offsets — is byte-identical to the single-host
+    production emission and round-trips."""
+    import jax
+    import numpy as np
+
+    from snappy_tpu.dist import mesh as dmesh, multihost as mh
+    from snappy_tpu.runtime import device_codec
+    from snappy_tpu.spec.format import STREAM_ID_CHUNK
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 devices")
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    monkeypatch.setattr(device_codec, "FLAT_MODE", "id")
+    data = (b"from-device multihost " * 9000)[:200_000] + rng.randbytes(
+        70_000)
+    fr = device_codec.compress_framed(data)
+    mesh = dmesh.make_mesh(2)
+    per_host = {}
+    for pid in range(2):
+        rows, dlens, lo, cnt = mh.host_decompress_framed_to_device(
+            fr, pid, 2, mesh=mesh)
+        bodies, lengths = mh.host_compress_framed_from_device(
+            rows, dlens, mesh=mesh)
+        assert len(bodies) == cnt
+        per_host[pid] = (lo, bodies, lengths)
+    # assembly contract: lengths allgather (simulated), exclusive scan
+    all_lengths = np.concatenate(
+        [per_host[p][2] for p in range(2)])
+    out = bytearray(STREAM_ID_CHUNK)
+    for p in range(2):
+        for b in per_host[p][1]:
+            out += b
+    assert bytes(out) == fr  # byte-identical to the single-host stream
+    assert device_codec.decompress_framed(bytes(out)) == data
+    assert int(all_lengths.sum()) == len(fr) - len(STREAM_ID_CHUNK)
