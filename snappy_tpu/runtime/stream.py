@@ -137,13 +137,22 @@ class FramedWriter(io.RawIOBase):
 
 
 class FramedReader(io.RawIOBase):
-    """Incremental framed decompressor over a file-like source."""
+    """Incremental framed decompressor over a file-like source.
+
+    Large reads decode in BATCHES through the native threaded framed
+    decoder (round 5: the per-chunk Python loop capped streaming at
+    ~0.4-0.6 GB/s; batched it rides the 2+ GB/s path).  The batch size
+    follows the caller's request — read(1 MB) prefetches ~16 chunks,
+    read(100) stays single-chunk — so blocking behavior on slow
+    sources (sockets, pipes) remains proportional to what was asked.
+    """
 
     def __init__(self, source, verify_checksums: bool = True,
-                 backend: str | None = None):
+                 backend: str | None = None, buffer_chunks: int = 64):
         self._src = source
         self._verify = verify_checksums
         self._backend = backend
+        self._buffer_chunks = max(1, buffer_chunks)
         self._pending = b""
         self._eof = False
         self._checked_magic = False
@@ -160,16 +169,16 @@ class FramedReader(io.RawIOBase):
             out += got
         return out
 
-    def _next_chunk(self) -> bool:
-        """Decode one data chunk into _pending; False at clean EOF."""
-        from snappy_tpu import api
-
+    def _next_record(self):
+        """Read one DATA chunk record (header + body) from the source,
+        skipping stream-id/padding/skippable chunks; None at clean EOF.
+        Validates types/sizes but does not decode."""
         while True:
             # sources may legally return short reads (sockets, pipes):
             # only a 0-byte *first* read is clean EOF
             hdr = self._src.read(4)
             if not hdr:
-                return False
+                return None
             while len(hdr) < 4:
                 got = self._src.read(4 - len(hdr))
                 if not got:
@@ -192,34 +201,70 @@ class FramedReader(io.RawIOBase):
                 raise UnsupportedError(ctype)
             if blen < 4:
                 raise CorruptError("chunk body shorter than checksum")
-            body = self._read_exact(blen)
-            stored = int.from_bytes(body[:4], "little")
-            payload = body[4:]
-            if ctype == CHUNK_COMPRESSED:
-                # reject the declared size BEFORE decoding: a crafted
-                # chunk claiming ~4GiB must not allocate/decode first
-                dst_len, _ = read_uvarint(payload, 0)
+            return ctype, bytes(hdr), self._read_exact(blen)
+
+    def _decode_record(self, ctype: int, body: bytes) -> bytes:
+        from snappy_tpu import api
+
+        stored = int.from_bytes(body[:4], "little")
+        payload = body[4:]
+        if ctype == CHUNK_COMPRESSED:
+            # reject the declared size BEFORE decoding: a crafted
+            # chunk claiming ~4GiB must not allocate/decode first
+            dst_len, _ = read_uvarint(payload, 0)
+            if dst_len > MAX_CHUNK_UNCOMPRESSED:
+                raise CorruptError("chunk decodes to more than 64KiB")
+            data = api.decompress(payload, backend=self._backend)
+            if len(data) > MAX_CHUNK_UNCOMPRESSED:
+                raise CorruptError("chunk decodes to more than 64KiB")
+        else:
+            if len(payload) > MAX_CHUNK_UNCOMPRESSED:
+                raise CorruptError("uncompressed chunk larger than 64KiB")
+            data = payload
+        if self._verify:
+            got = mask_crc(_crc(data))
+            if got != stored:
+                raise ChecksumError(stored, got)
+        return data
+
+    def _fill(self, want_chunks: int) -> bool:
+        """Decode up to want_chunks records into _pending; False at
+        clean EOF with nothing decoded."""
+        from snappy_tpu import native
+
+        want_chunks = max(1, min(want_chunks, self._buffer_chunks))
+        records = []
+        for _ in range(want_chunks):
+            rec = self._next_record()
+            if rec is None:
+                break
+            records.append(rec)
+            if rec[0] == CHUNK_COMPRESSED:
+                dst_len, _ = read_uvarint(rec[2], 4)
                 if dst_len > MAX_CHUNK_UNCOMPRESSED:
                     raise CorruptError("chunk decodes to more than 64KiB")
-                data = api.decompress(payload, backend=self._backend)
-                if len(data) > MAX_CHUNK_UNCOMPRESSED:
-                    raise CorruptError("chunk decodes to more than 64KiB")
-            else:
-                if len(payload) > MAX_CHUNK_UNCOMPRESSED:
-                    raise CorruptError("uncompressed chunk larger than 64KiB")
-                data = payload
-            if self._verify:
-                got = mask_crc(_crc(data))
-                if got != stored:
-                    raise ChecksumError(stored, got)
-            self._pending = data
-            return True
+        if not records:
+            return False
+        use_native = (len(records) > 1 and native.available()
+                      and self._backend in (None, "native"))
+        if use_native:
+            blob = b"".join(
+                (STREAM_ID_CHUNK,)
+                + tuple(h + b for _t, h, b in records))
+            self._pending = native.decompress_framed(
+                blob, verify_checksums=self._verify, threads=0)
+        else:
+            self._pending = b"".join(
+                self._decode_record(t, b) for t, _h, b in records)
+        return True
 
     def read(self, n: int = -1) -> bytes:
         out = bytearray()
         while n < 0 or len(out) < n:
             if not self._pending:
-                if self._eof or not self._next_chunk():
+                want = (self._buffer_chunks if n < 0 else
+                        -(-(n - len(out)) // MAX_CHUNK_UNCOMPRESSED))
+                if self._eof or not self._fill(want):
                     self._eof = True
                     break
             take = len(self._pending) if n < 0 else min(n - len(out), len(self._pending))
