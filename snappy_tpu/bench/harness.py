@@ -318,18 +318,26 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
         # the max window extent (every source read goes through a
         # [S, S+128) window, so max(S)+128 rows bound it), identically
         # across batches (one compiled shape).  Pre-cast i32 (skips a
-        # full-HBM cast pass per call).
+        # full-HBM cast pass per call).  The batches FUSE into one
+        # resident arg set / ONE kernel call per pass (round 5): relay
+        # dispatch in sick windows cost multiple ms per call and the r4
+        # capture's 3x per-engine "regression" was 16 of them per pass
+        # — one call makes the per-engine field measure the kernel.
         def _trim_put(raw):
             mrows = 8 * max(1, max(int((r[3] & 0xFFFF).max()) for r in raw))
             rb_u = max((int((r[2] & 1023).max()) + 128 + 7) & ~7 for r in raw)
-            return [
-                tuple(map(jax.device_put, (
+            nb_f = len(raw) * B
+            return tuple(map(jax.device_put, (
+                np.concatenate([
                     np.ascontiguousarray(b[:, : rb_u * 128])
-                    .astype(np.int32).reshape(B, rb_u, 128),
-                    np.ascontiguousarray(m[:, :mrows]), s, n,
-                )))
-                for b, m, s, n in raw
-            ]
+                    .astype(np.int32).reshape(B, rb_u, 128)
+                    for b, _m, _s, _n in raw]),
+                np.concatenate([
+                    np.ascontiguousarray(m[:, :mrows])
+                    for _b, m, _s, _n in raw]),
+                np.concatenate([s for _b, _m, s, _n in raw]),
+                np.concatenate([n for _b, _m, _s, n in raw]),
+            ))) + (nb_f,)
 
         if flat_raw:
             flat_args = _trim_put(flat_raw)
@@ -339,20 +347,16 @@ def _device_path_bench(data: bytes, repeats: int) -> dict:
     def run_decode_flat():
         from snappy_tpu.kernels.decode_flat import decode_blocks_flat
 
-        outs = []
-        for b_d, m_d, s_d, n_d in flat_args:
-            out = decode_blocks_flat(b_d, m_d, s_d, n_d, dst_max=BMAX)
-            outs.append(out[:, :1].astype(jnp.int32))
-        return combine(*outs)  # device scalar: caller forces
+        b_d, m_d, s_d, n_d, _nb = flat_args
+        out = decode_blocks_flat(b_d, m_d, s_d, n_d, dst_max=BMAX)
+        return combine(out[:, :1].astype(jnp.int32))  # caller forces
 
     def run_encode_flat():
         from snappy_tpu.kernels.encode_flat import encode_blocks_flat
 
-        outs = []
-        for b_d, m_d, s_d, n_d in flat_enc_args:
-            out = encode_blocks_flat(b_d, m_d, s_d, n_d)
-            outs.append(out[:, :1].astype(jnp.int32))
-        return combine(*outs)
+        b_d, m_d, s_d, n_d, _nb = flat_enc_args
+        out = encode_blocks_flat(b_d, m_d, s_d, n_d)
+        return combine(out[:, :1].astype(jnp.int32))
 
     # The relay's forced-sync latency is ~20-50 ms regardless of work,
     # so each timing iteration pipelines FLAT_REPS full passes and pays
