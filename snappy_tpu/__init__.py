@@ -37,6 +37,8 @@ __all__ = [
     "decompress",
     "compress_framed",
     "decompress_framed",
+    "decompress_into",
+    "decompress_framed_into",
     "decompress_to_device",
     "decompress_framed_to_device",
     "compress_framed_from_device",
@@ -48,7 +50,8 @@ def __getattr__(name):
     # Lazy imports keep `import snappy_tpu` cheap and jax-free until a
     # codec entry point is actually used.
     if name in ("compress", "decompress", "compress_framed",
-                "decompress_framed", "decompress_to_device",
+                "decompress_framed", "decompress_into",
+                "decompress_framed_into", "decompress_to_device",
                 "decompress_framed_to_device",
                 "compress_framed_from_device"):
         from snappy_tpu import api

@@ -116,6 +116,50 @@ def decompress_framed(data: bytes, *, backend: str | None = None) -> bytes:
     return _resolve("decompress_framed", backend)(data)
 
 
+def decompress_into(data: bytes, out) -> int:
+    """Decompress a raw Snappy stream into a CALLER-OWNED uint8 numpy
+    buffer; returns the decoded length.  The zero-allocation
+    production path (a fresh multi-GB output pays ~60 us/page in
+    first-touch faults on some hosts; pipelines reuse buffers).
+    Portable: routes to the native decoder when present, else decodes
+    and copies."""
+    import numpy as np
+
+    try:
+        from snappy_tpu import native
+
+        if native.available():
+            return native.decompress_into(data, out)
+    except ImportError:  # pragma: no cover
+        pass
+    blob = decompress(data)
+    if out.size < len(blob):
+        raise ValueError(f"out buffer {out.size} < decoded {len(blob)}")
+    out[: len(blob)] = np.frombuffer(blob, np.uint8)
+    return len(blob)
+
+
+def decompress_framed_into(data: bytes, out,
+                           verify_checksums: bool = True) -> int:
+    """Decompress a framed (.sz) stream into a CALLER-OWNED uint8
+    numpy buffer; returns the decoded length (see decompress_into)."""
+    import numpy as np
+
+    try:
+        from snappy_tpu import native
+
+        if native.available():
+            return native.decompress_framed_into(
+                data, out, verify_checksums=verify_checksums)
+    except ImportError:  # pragma: no cover
+        pass
+    blob = decompress_framed(data)
+    if out.size < len(blob):
+        raise ValueError(f"out buffer {out.size} < decoded {len(blob)}")
+    out[: len(blob)] = np.frombuffer(blob, np.uint8)
+    return len(blob)
+
+
 def decompress_to_device(data: bytes):
     """Decompress a raw Snappy stream to a DEVICE-RESIDENT uint8
     jax.Array (the decode-to-HBM data-loader path: H2D carries exactly

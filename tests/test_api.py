@@ -55,3 +55,26 @@ def test_cross_backend_matrix(rng):
     for src, blob in blobs.items():
         for dst in backends:
             assert api.decompress_framed(blob, backend=dst) == data, (src, dst)
+
+
+def test_into_entry_points(rng):
+    """api.decompress_into / decompress_framed_into: the reused-buffer
+    production path — parity with the allocating entries, bounds
+    checked, and present even without the native lib (fallback)."""
+    import numpy as np
+
+    from snappy_tpu import api
+
+    data = (b"api into " * 5000 + rng.randbytes(20_000))[:60_000]
+    raw = api.compress(data, backend="np")
+    fr = api.compress_framed(data, backend="np")
+    out = np.empty(len(data) + 7, np.uint8)
+    assert api.decompress_into(raw, out) == len(data)
+    assert out[: len(data)].tobytes() == data
+    out[:] = 0
+    assert api.decompress_framed_into(fr, out) == len(data)
+    assert out[: len(data)].tobytes() == data
+    import pytest
+
+    with pytest.raises(Exception):
+        api.decompress_into(raw, np.empty(5, np.uint8))
