@@ -183,10 +183,87 @@ def _stream_decompress(args, dest, meter) -> int:
     return 0
 
 
+def _pipe_compress(args) -> int:
+    """stdin -> framed stdout in slabs (constant memory on pipes; the
+    reference streams every download/unpack the same way)."""
+    from snappy_tpu.runtime.stream import FramedWriter
+
+    if args.verify:
+        print("tpusnappy: --verify cannot re-read a pipe", file=sys.stderr)
+        return 2
+    done = 0
+    with FramedWriter(sys.stdout.buffer, backend=args.backend) as w:
+        while True:
+            slab = sys.stdin.buffer.read(_SLAB)
+            if not slab:
+                break
+            w.write(slab)
+            done += len(slab)
+    sys.stdout.buffer.flush()
+    if not args.quiet:
+        print(f"-: {done} bytes compressed (streamed)", file=sys.stderr)
+    return 0
+
+
+def _pipe_decompress(args) -> int:
+    """stdin -> stdout in slabs (constant memory on pipes for framed
+    input; raw streams need the whole stream and are slurped)."""
+    import io
+
+    from snappy_tpu.runtime.stream import FramedReader
+    from snappy_tpu.spec.format import STREAM_ID_CHUNK
+
+    head = sys.stdin.buffer.read(len(STREAM_ID_CHUNK))
+    fmt = args.format
+    if fmt == "auto":
+        fmt = "framed" if head == STREAM_ID_CHUNK else "raw"
+    if fmt == "raw":
+        from snappy_tpu import api
+
+        out = api.decompress(head + sys.stdin.buffer.read(),
+                             backend=args.backend)
+        sys.stdout.buffer.write(out)
+        sys.stdout.buffer.flush()
+        if not args.quiet:
+            print(f"-: {len(out)} bytes decompressed", file=sys.stderr)
+        return 0
+
+    class _Chained(io.RawIOBase):
+        def __init__(self, first, rest):
+            self._first = first
+            self._rest = rest
+
+        def read(self, n=-1):
+            if self._first:
+                if n < 0 or n >= len(self._first):
+                    out, self._first = self._first, b""
+                    return out
+                out, self._first = self._first[:n], self._first[n:]
+                return out
+            return self._rest.read(n)
+
+    r = FramedReader(_Chained(head, sys.stdin.buffer),
+                     backend=args.backend)
+    done = 0
+    while True:
+        piece = r.read(_SLAB)
+        if not piece:
+            break
+        sys.stdout.buffer.write(piece)
+        done += len(piece)
+    sys.stdout.buffer.flush()
+    if not args.quiet:
+        print(f"-: {done} bytes decompressed (streamed)", file=sys.stderr)
+    return 0
+
+
 def cmd_compress(args) -> int:
     from snappy_tpu import api
 
     meter = _make_meter(args)
+    if args.format == "framed" and args.file == "-" and args.output in (
+            None, "-"):
+        return _pipe_compress(args)
     if (
         args.format == "framed"
         and args.file != "-"
@@ -240,6 +317,9 @@ def cmd_decompress(args) -> int:
                 break
         else:
             dest = "-"
+    if (args.file == "-" and dest == "-"
+            and args.format in ("auto", "framed")):
+        return _pipe_decompress(args)
     if (
         args.file != "-"
         and dest != "-"

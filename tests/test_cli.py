@@ -139,3 +139,42 @@ def test_streaming_meter_records(tmp_path, rng, monkeypatch):
     assert starts and starts[0][2] == 200_000
     assert sets and sets[-1][1] == 200_000
     assert ("finish",) in events
+
+
+def test_pipe_streaming_roundtrip(rng, tmp_path):
+    """UNIX piping: `compress - -` / `decompress - -` stream framed
+    bytes through stdin/stdout with bounded memory; raw streams on the
+    auto path are detected by the magic peek."""
+    import subprocess
+    import sys
+
+    data = b"pipe me " * 40000 + rng.randbytes(50_000)
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    c = subprocess.run(
+        [sys.executable, "-m", "snappy_tpu.cli", "compress", "-", "-o",
+         "-", "-q"],
+        input=data, capture_output=True, env=env, cwd="/root/repo")
+    assert c.returncode == 0, c.stderr[-300:]
+    assert c.stdout[:10] == b"\xff\x06\x00\x00sNaPpY"
+    d = subprocess.run(
+        [sys.executable, "-m", "snappy_tpu.cli", "decompress", "-",
+         "-o", "-", "-q"],
+        input=c.stdout, capture_output=True, env=env, cwd="/root/repo")
+    assert d.returncode == 0, d.stderr[-300:]
+    assert d.stdout == data
+    # raw stream through the same pipe path (magic peek routes it)
+    from snappy_tpu import native
+    raw = native.compress(data) if native.available() else None
+    if raw is not None:
+        d = subprocess.run(
+            [sys.executable, "-m", "snappy_tpu.cli", "decompress", "-",
+             "-o", "-", "-q"],
+            input=raw, capture_output=True, env=env, cwd="/root/repo")
+        assert d.returncode == 0, d.stderr[-300:]
+        assert d.stdout == data
+    # --verify on a pipe is refused, not silently skipped
+    v = subprocess.run(
+        [sys.executable, "-m", "snappy_tpu.cli", "compress", "-", "-o",
+         "-", "--verify", "-q"],
+        input=data, capture_output=True, env=env, cwd="/root/repo")
+    assert v.returncode == 2
