@@ -120,3 +120,43 @@ class TestMeshFromDevice:
         fr = dmesh.sharded_compress_framed_from_device(
             mesh, rows, np.zeros(0, np.int32))
         assert device_codec.decompress_framed(fr) == b""
+
+
+def test_from_device_generator_fuzz(rng, on_tpu):
+    """Generator-family fuzz for the from-device encode (mirrors the
+    to_device sweep): 8 families x sizes, each array compressed from
+    the (virtual) device and round-tripped, byte-identical to the
+    host emission."""
+    import jax
+
+    nrng = np.random.default_rng(20260820 + 5)
+    for t in range(16):
+        kind = t % 8
+        n = int(nrng.integers(1, 150_000))
+        if kind == 0:
+            data = nrng.bytes(n)
+        elif kind == 1:
+            data = (b"the quick brown fox " * 8000)[:n]
+        elif kind == 2:
+            data = bytes([int(nrng.integers(65, 70))]) * n
+        elif kind == 3:
+            p = int(nrng.integers(1, 200)) or 1
+            data = (nrng.bytes(p) * (n // p + 1))[:n]
+        elif kind == 4:
+            data = nrng.bytes(n // 2) + (b"abcdef" * 9000)[
+                :max(0, n - n // 2)]
+        elif kind == 5:
+            data = nrng.integers(0, 3, n, dtype=np.uint8).tobytes()
+        elif kind == 6:
+            seed = nrng.bytes(min(n, 5000))
+            data = (seed + nrng.bytes(60000) + seed + nrng.bytes(4000))[:n]
+        else:
+            w = [nrng.bytes(int(nrng.integers(2, 9))) for _ in range(30)]
+            data = b"".join(
+                w[int(i)] for i in nrng.integers(0, 30, n // 5 + 1))[:n]
+        if not data:
+            continue
+        arr = jax.device_put(np.frombuffer(data, np.uint8))
+        fr = device_codec.compress_framed_from_device(arr)
+        assert device_codec.decompress_framed(fr) == data, (t, kind)
+        assert fr == device_codec.compress_framed(data), (t, kind)

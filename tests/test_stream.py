@@ -141,3 +141,37 @@ def test_writer_batched_device_backend(rng):
     with FramedWriter(sink, backend="jnp", buffer_chunks=4) as w:
         w.write(data)
     assert framing.decompress_framed(sink.getvalue()) == data
+
+
+def test_reader_writer_fuzz(rng):
+    """Randomized write-slab / read-size fuzz over the streaming pair:
+    arbitrary write granularity in, arbitrary read granularity out,
+    batched and unbatched, always byte-exact."""
+    import io
+
+    import numpy as np
+
+    from snappy_tpu.runtime.stream import FramedReader, FramedWriter
+
+    nrng = np.random.default_rng(424242)
+    for trial in range(6):
+        n = int(nrng.integers(0, 400_000))
+        data = (b"fuzz the stream " * 9000 + rng.randbytes(n))[:n]
+        buf = io.BytesIO()
+        w = FramedWriter(buf)
+        i = 0
+        while i < len(data):
+            step = int(nrng.integers(1, 90_000))
+            w.write(data[i:i + step])
+            i += step
+        w.close()
+        src = io.BytesIO(buf.getvalue())
+        r = FramedReader(src, buffer_chunks=int(nrng.integers(1, 8)))
+        got = bytearray()
+        while True:
+            k = int(nrng.integers(1, 200_000))
+            piece = r.read(k)
+            if not piece:
+                break
+            got += piece
+        assert bytes(got) == data, trial
