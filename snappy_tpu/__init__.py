@@ -61,4 +61,8 @@ def __getattr__(name):
         from snappy_tpu.runtime import stream
 
         return getattr(stream, name)
+    if name == "checkpoint":
+        import importlib
+
+        return importlib.import_module("snappy_tpu.checkpoint")
     raise AttributeError(f"module 'snappy_tpu' has no attribute {name!r}")
