@@ -85,3 +85,22 @@ def test_pytree_container(rng, on_tpu):
         checkpoint.load_pytree(blob + b"x")
     with pytest.raises(CorruptError):
         checkpoint.load_pytree(b"NOTACKPT" + blob[8:])
+
+
+def test_sharded_array_roundtrip(rng, on_tpu):
+    """A mesh-sharded array saves and loads correctly (the save path
+    slices batches; XLA gathers shards as needed — correctness here,
+    the zero-gather mesh form is sharded_encode_rows_to_chunks)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from snappy_tpu.dist import mesh as dmesh
+
+    mesh = dmesh.make_mesh()
+    host = np.arange(8 * 40_000, dtype=np.float32)
+    arr = jax.device_put(
+        host.reshape(8, 40_000),
+        NamedSharding(mesh, P("d")))
+    blob = checkpoint.save_array(arr)
+    back = checkpoint.load_array(blob)
+    assert back.shape == (8, 40_000) and back.dtype == jnp.float32
+    assert np.array_equal(np.asarray(back), host.reshape(8, 40_000))
