@@ -995,7 +995,7 @@ def _system_path_bench(data: bytes, repeats: int,
         # system_relay_sync_ms) is measurement cost, amortized exactly
         # as the flat-kernel timing amortizes it (FLAT_REPS).
         SYS_REPS = max(1, int(os.environ.get(
-            "SNAPPY_TPU_BENCH_SYS_REPS", "4")))
+            "SNAPPY_TPU_BENCH_SYS_REPS", "8")))
 
         def dec_pass_fused(reps=SYS_REPS):
             accs = []
