@@ -753,13 +753,13 @@ def _system_path_bench(data: bytes, repeats: int,
             for _ in range(NSETS)
         ]
 
-    def _stage_dec_batch(k, st):
+    def _stage_dec_batch(k, st, workers=None):
         if mode == "id":
             # flat v3: validate + decode each element straight into its
             # staging row — the whole host half of the decode path
             bad = native.stage_flat_dec_id_batch(
                 ecat[k], eoffs[k], elens[k], hdrs64[k], dstl64, ID_ROWS,
-                st[0], rc64, n_threads=n_workers)
+                st[0], rc64, n_threads=workers or n_workers)
             assert bad == 0, "corpus block failed id staging"
             return st
         b_u8, fmeta, fst, ntr = st
@@ -770,7 +770,7 @@ def _system_path_bench(data: bytes, repeats: int,
         ntr[:] = rc64
         return st
 
-    def _stage_enc_batch(k, st):
+    def _stage_enc_batch(k, st, workers=None):
         blocks = blocks_np[k]
         if mode == "id":
             # flat v3: matcher + emission on host (threaded C++); the
@@ -778,7 +778,7 @@ def _system_path_bench(data: bytes, repeats: int,
             # and nothing to stage beyond the blocks themselves
             bad = native.compress_batch(
                 blocks, blens64, elem_buf, clen64, hdr64, rc64,
-                n_threads=n_workers)
+                n_threads=workers or n_workers)
             assert bad == 0, "native compressor rejected a block"
             return st
         b_u8, fmeta, fst, ntr = st
@@ -944,6 +944,19 @@ def _system_path_bench(data: bytes, repeats: int,
     out["system_decompress_times_s"] = [round(t, 3) for t in times]
     out["system_plan_dec_gbs"] = round(
         _plan_only(_stage_dec_batch, dec_sets), 4)
+    # host-core scaling of the bound itself (the system clock tracks
+    # the plan pool, so "more host cores" IS the scaling story for a
+    # host destination — production TPU hosts have 28-52 cores/chip
+    # vs this sandbox's 4): the same full plan pass at 1/2/4 workers
+    if mode == "id":
+        by_w = {}
+        for w in (1, 2, 4):
+            t0 = time.perf_counter()
+            for k in range(n_batches):
+                _stage_dec_batch(k, dec_sets[k % NSETS], workers=w)
+            by_w[str(w)] = round(
+                total / 1e9 / (time.perf_counter() - t0), 4)
+        out["system_plan_dec_by_workers_gbs"] = by_w
     # device-only pass over the pre-staged panels: the DEVICE-side
     # ceiling of the pipelined clock (id mode: slice + MXU CRC) — shows
     # which half of the overlap bounds the system number
@@ -1052,6 +1065,15 @@ def _system_path_bench(data: bytes, repeats: int,
     out["system_compress_times_s"] = [round(t, 3) for t in times]
     out["system_plan_enc_gbs"] = round(
         _plan_only(_stage_enc_batch, enc_sets), 4)
+    if mode == "id":
+        by_w = {}
+        for w in (1, 2, 4):
+            t0 = time.perf_counter()
+            for k in range(n_batches):
+                _stage_enc_batch(k, enc_sets[k % NSETS], workers=w)
+            by_w[str(w)] = round(
+                total / 1e9 / (time.perf_counter() - t0), 4)
+        out["system_plan_enc_by_workers_gbs"] = by_w
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
