@@ -418,6 +418,12 @@ def cmd_info(args) -> int:
     print(f"ratio:             {total_out / max(len(data), 1):.3f}")
     for k, v in counts.items():
         print(f"{k + ' chunks:':<19}{v}")
+    from snappy_tpu.checkpoint import _split_meta
+
+    meta, _ = _split_meta(data)
+    if meta is not None:
+        print(f"checkpoint:        dtype={meta.get('dtype')} "
+              f"shape={meta.get('shape')} (snappy_tpu.checkpoint)")
     return 0
 
 

@@ -178,3 +178,23 @@ def test_pipe_streaming_roundtrip(rng, tmp_path):
          "-", "--verify", "-q"],
         input=data, capture_output=True, env=env, cwd="/root/repo")
     assert v.returncode == 2
+
+
+def test_info_shows_checkpoint_manifest(tmp_path):
+    import io
+    import contextlib
+
+    import jax
+    import numpy as np
+
+    from snappy_tpu import checkpoint
+    from snappy_tpu.cli.main import main
+
+    p = tmp_path / "w.sz"
+    p.write_bytes(checkpoint.save_array(
+        jax.device_put(np.arange(1000, dtype=np.int32))))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["info", str(p)]) == 0
+    out = buf.getvalue()
+    assert "checkpoint:" in out and "int32" in out and "[1000]" in out
