@@ -79,3 +79,46 @@ def test_fuzz_no_device_crc(corpus, rng, monkeypatch):
     data, framed = corpus
     monkeypatch.setattr(device_codec, "DEVICE_CRC", False)
     _fuzz_sweep(data, framed, rng, 30)
+
+
+def test_differential_sweep_vs_cxx_snappy():
+    """Standing differential sweep against real C++ snappy (pyarrow),
+    bounded form of the r5 400-case run (0 failures): both encoders
+    cross-decode through C++; the np matcher's emission stays <=
+    min(go-style(=native), C++) per input — the native backend's own
+    contract is byte-exactness to the go-style reference, which C++
+    snappy legitimately beats on some low-entropy inputs."""
+    import numpy as np
+
+    pa = pytest.importorskip("pyarrow")
+    from snappy_tpu import api, native
+
+    if not native.available():  # pragma: no cover
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0xD1FF)
+    for t in range(60):
+        kind = t % 6
+        n = int(rng.integers(0, 120_000))
+        if kind == 0:
+            data = rng.bytes(n)
+        elif kind == 1:
+            data = (b"differential sweep " * 20000)[:n]
+        elif kind == 2:
+            p = int(rng.integers(1, 300))
+            data = (rng.bytes(p) * (n // p + 1))[:n]
+        elif kind == 3:
+            data = rng.integers(0, 5, n, dtype=np.uint8).tobytes()
+        elif kind == 4:
+            data = (rng.bytes(n // 3) + (b"xyz" * 40000)[:n - n // 3]
+                    if n else b"")
+        else:
+            s = rng.bytes(min(n, 3000))
+            data = (s + rng.bytes(50000) + s)[:n]
+        cxx = pa.compress(data, codec="snappy", asbytes=True)
+        nat = api.compress(data, backend="native")
+        np_out = api.compress(data, backend="np")
+        for ours in (nat, np_out):
+            assert pa.decompress(
+                ours, len(data), codec="snappy", asbytes=True) == data, t
+        assert len(np_out) <= min(len(cxx), len(nat)), t
+        assert api.decompress(cxx, backend="native") == data, t
