@@ -533,6 +533,11 @@ def decompress_framed_into(data: bytes | np.ndarray, out: np.ndarray,
     rc = lib.sn_decompress_framed(
         _as_u8p(src), len(src), _as_u8p(out), out.size,
         1 if verify_checksums else 0, threads)
+    if rc == -5:
+        # the decoder's buffer-too-small code: here it means the
+        # CALLER's buffer is short, not that the stream is corrupt
+        raise ValueError(
+            f"out buffer {out.size} too small for the decoded stream")
     if rc < 0:
         _raise(int(rc))
     return int(rc)

@@ -171,7 +171,5 @@ def test_into_variants_roundtrip_and_bounds():
         native.decompress_into(raw, small)
     with pytest.raises(ValueError):
         native.compress_framed_into(arr, small)
-    from snappy_tpu.errors import SnappyError
-
-    with pytest.raises((SnappyError, ValueError)):
+    with pytest.raises(ValueError):
         native.decompress_framed_into(fr_buf[:fl], small)
