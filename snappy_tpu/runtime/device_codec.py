@@ -159,24 +159,31 @@ _ID_ROWS = 520  # 512 image rows + 8 guard rows (wide-copy slop)
 # merit, and its default guard burned a full host encode per block.
 # Burial: docs/architecture.md; measurements: docs/performance.md.
 
-_ENC_ELEM_BATCH: np.ndarray | None = None
+import threading as _threading
+
+_enc_elem_tls = _threading.local()
 
 
 def _enc_elem_batch(rows: int) -> np.ndarray:
-    """Shared [>=rows, elem_cap] element buffer for the batched encode
-    stager (every row's full host element; fallback rows read theirs).
-    Regrown if a caller needs more rows than the cached buffer has
-    (tests monkeypatch BATCH) — the C++ side writes rows 0..B-1 at the
-    buffer's stride, so a short buffer would be a heap overflow."""
-    global _ENC_ELEM_BATCH
-    if _ENC_ELEM_BATCH is None or _ENC_ELEM_BATCH.shape[0] < rows:
+    """Per-THREAD [>=rows, elem_cap] element buffer for the batched
+    encode stager (every row's full host element; fallback rows read
+    theirs).  Thread-local, not module-global: concurrent
+    compress_framed / compress_framed_from_device calls from library
+    users must not share scratch (a shared buffer silently corrupted
+    emissions — r5 review finding).  Regrown if a caller needs more
+    rows than the cached buffer has (tests monkeypatch BATCH) — the
+    C++ side writes rows 0..B-1 at the buffer's stride, so a short
+    buffer would be a heap overflow."""
+    buf = getattr(_enc_elem_tls, "buf", None)
+    if buf is None or buf.shape[0] < rows:
         from snappy_tpu import native
 
-        _ENC_ELEM_BATCH = np.empty(
+        buf = np.empty(
             (max(rows, BATCH),
              native.max_compressed_length(MAX_BLOCK_SIZE) + 8),
             np.uint8)
-    return _ENC_ELEM_BATCH
+        _enc_elem_tls.buf = buf
+    return buf
 
 
 def _flat_trim(ntr: np.ndarray, starts: np.ndarray, rb: int,

@@ -139,3 +139,32 @@ def test_pallas_engine_framed_roundtrip(rng, monkeypatch):
     bad[-3] ^= 0xFF
     with pytest.raises((ChecksumError, CorruptError)):
         device_codec.decompress_framed(bytes(bad))
+
+
+def test_concurrent_compress_framed_threads(rng, monkeypatch):
+    """Library thread-safety: concurrent compress_framed calls from
+    user threads must not share encode scratch (the r5 review found a
+    module-global element buffer that corrupted concurrent emissions;
+    it is thread-local now).  Each thread round-trips its own distinct
+    payload many times; any cross-talk shows as a mismatch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from snappy_tpu.runtime import device_codec
+
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    monkeypatch.setattr(device_codec, "FLAT_MODE", "id")
+    payloads = [
+        (bytes([65 + i]) * 70_000 + rng.randbytes(80_000))
+        for i in range(4)
+    ]
+    expected = [device_codec.compress_framed(p) for p in payloads]
+
+    def worker(i):
+        for _ in range(6):
+            fr = device_codec.compress_framed(payloads[i])
+            assert fr == expected[i], f"thread {i} emission cross-talk"
+            assert device_codec.decompress_framed(fr) == payloads[i]
+        return i
+
+    with ThreadPoolExecutor(4) as pool:
+        assert sorted(pool.map(worker, range(4))) == [0, 1, 2, 3]
