@@ -24,7 +24,7 @@ from snappy_tpu.errors import (
     UnsupportedError,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "SnappyError",
