@@ -168,3 +168,47 @@ def test_concurrent_compress_framed_threads(rng, monkeypatch):
 
     with ThreadPoolExecutor(4) as pool:
         assert sorted(pool.map(worker, range(4))) == [0, 1, 2, 3]
+
+
+def test_framed_edge_inputs(monkeypatch):
+    """Spec-legal oddities a foreign writer may emit (r5 adversarial
+    probe): an empty compressed chunk (varint 0, no elements), repeated
+    stream identifiers mid-stream ("may repeat", spec §8.2), and
+    trailing junk after a chunk's element (must reject, matching C++
+    snappy's full-consumption rule)."""
+    import numpy as np
+
+    from snappy_tpu import native
+    from snappy_tpu.errors import CorruptError
+    from snappy_tpu.runtime import device_codec as dc
+    from snappy_tpu.spec.crc32c import crc32c
+    from snappy_tpu.spec.format import STREAM_ID_CHUNK, mask_crc
+
+    monkeypatch.setattr(dc, "_pallas_cache", True)
+
+    def rec(ctype, payload, crc_data):
+        body = len(payload) + 4
+        return (bytes((ctype, body & 255, (body >> 8) & 255,
+                       (body >> 16) & 255))
+                + mask_crc(crc32c(crc_data)).to_bytes(4, "little")
+                + payload)
+
+    # empty compressed chunk
+    fr = STREAM_ID_CHUNK + rec(0x00, b"\x00", b"")
+    assert dc.decompress_framed(fr) == b""
+
+    data = b"edge inputs " * 2000
+    el = native.compress(data) if native.available() else None
+    if el is None:
+        return
+    # repeated stream identifier between data chunks
+    fr = (STREAM_ID_CHUNK + rec(0x00, el, data)
+          + STREAM_ID_CHUNK + rec(0x00, el, data))
+    assert dc.decompress_framed(fr) == data * 2
+
+    # trailing junk after the element: reject, never decode silently
+    fr = STREAM_ID_CHUNK + rec(0x00, el + b"\xaa\xbb", data)
+    import pytest
+
+    with pytest.raises(CorruptError):
+        dc.decompress_framed(fr)
