@@ -1090,42 +1090,26 @@ def _system_path_bench(data: bytes, repeats: int,
     # fetch elided as transport (same accounting discipline as every
     # system field; the measured fetch rate is reported alongside).
     if mode == "id":
-        from snappy_tpu.spec.format import (
-            framed_chunk_type as _fct,
-            mask_crc as _mask,
-            put_uvarint as _puv,
-        )
-
         _crc_rows = jax.jit(crc32c_chunks)
 
         def fromdev_pass():
+            # exactly the production compress_framed_from_device shape:
+            # dispatch every batch's MXU CRC first (async), drain D2H,
+            # then ONE threaded C++ call per batch does matcher +
+            # incompressible fallback + framing + ordered assembly
+            # with the device CRCs passed through (r5: the per-chunk
+            # Python assembly this replaced halved the rate)
             crcs = [_crc_rows(enc_dev[k][0], dlens_dev)
-                    for k in range(n_batches)]  # all dispatched async
-            bufs = []
-            slots = []  # (batch, offset): CRC patch sites
-            for k in range(n_batches):
-                _stage_enc_batch(k, enc_sets[k % NSETS])
-                buf = bytearray()
-                blocks = blocks_np[k]
-                for i in range(B):
-                    blob = elem_buf[
-                        i, int(hdr64[i]):int(clen64[i])].tobytes()
-                    body = _puv(BMAX) + blob
-                    ctype = _fct(BMAX, len(body))
-                    if ctype == 0x01:
-                        body = blocks[i].tobytes()
-                    blen = len(body) + 4
-                    buf += bytes((ctype, blen & 0xFF,
-                                  (blen >> 8) & 0xFF, (blen >> 16) & 0xFF))
-                    slots.append((k, len(buf)))
-                    buf += b"\x00\x00\x00\x00"
-                    buf += body
-                bufs.append(buf)
-            crc_all = np.asarray(jnp.concatenate(crcs))  # ONE sync
-            for j, (k, off) in enumerate(slots):
-                bufs[k][off:off + 4] = _mask(
-                    int(crc_all[j])).to_bytes(4, "little")
-            return bufs
+                    for k in range(n_batches)]
+            for c in crcs:
+                if hasattr(c, "copy_to_host_async"):
+                    c.copy_to_host_async()
+            return [
+                native.compress_framed_crc(
+                    blocks_np[k], B * BMAX, np.asarray(crcs[k]),
+                    chunk_size=BMAX, threads=n_workers, write_id=False)
+                for k in range(n_batches)
+            ]
 
         fromdev_pass()  # warmup
         times = []

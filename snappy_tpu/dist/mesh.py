@@ -467,6 +467,20 @@ def sharded_encode_rows_to_chunks(
         return []
     blocks = np.asarray(rows_d)[:b]
     crcs = np.asarray(crc)[:b]
+    if native.available() and bool(np.all(lens_p[:b - 1] == _CRC_CHUNK)):
+        # Full middle rows (the loader contract): the fetched row
+        # matrix is the contiguous chunk byte stream, so matching +
+        # framing + assembly is ONE threaded C++ call with the MXU
+        # CRCs passed through; rec_lens splits the buffer back into
+        # the per-chunk records the multi-host assembly contract needs.
+        rl = np.zeros(b, np.uint64)
+        buf = native.compress_framed_crc(
+            blocks, int(lens_p[:b].sum()), crcs,
+            chunk_size=_CRC_CHUNK,
+            threads=min(4, os.cpu_count() or 1),
+            write_id=False, rec_lens=rl)
+        offs = np.concatenate(([0], np.cumsum(rl.astype(np.int64))))
+        return [buf[offs[i]:offs[i + 1]] for i in range(b)]
     if native.available():
         lens64 = lens_p[:b].astype(np.int64)
         clens64 = np.zeros(b, np.int64)

@@ -182,6 +182,12 @@ def _load():
         lib.sn_compress_framed.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int,
         ]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.sn_compress_framed_crc.restype = ctypes.c_int64
+        lib.sn_compress_framed_crc.argtypes = [
+            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int,
+            u32p, u64p, ctypes.c_int,
+        ]
         lib.sn_framed_max_length.restype = ctypes.c_int64
         lib.sn_framed_max_length.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
         lib.sn_decompress_framed.restype = ctypes.c_int64
@@ -775,6 +781,40 @@ def compress_framed(data: bytes, chunk_size: int = 65536, threads: int = 0) -> b
         _raise(int(cap))
     dst = np.empty(int(cap), np.uint8)
     rc = lib.sn_compress_framed(_as_u8p(src), len(data), _as_u8p(dst), chunk_size, threads)
+    if rc < 0:
+        _raise(int(rc))
+    return dst[:rc].tobytes()
+
+
+def compress_framed_crc(src: np.ndarray, n: int,
+                        crcs: np.ndarray | None,
+                        chunk_size: int = 65536, threads: int = 0,
+                        write_id: bool = True,
+                        rec_lens: np.ndarray | None = None) -> bytes:
+    """Framed compression of a contiguous uint8 buffer with OPTIONAL
+    caller-supplied per-chunk raw CRC-32C values (the from-device
+    path: CRCs computed on the MXU before the bytes left HBM) and an
+    optional stream-id skip so per-batch calls concatenate into one
+    stream.  rec_lens (uint64[nchunks], optional) receives each
+    chunk's framed record length — the record-splitting contract the
+    multi-host pwrite assembly uses.  Byte-identical to
+    compress_framed(bytes) when crcs matches the data."""
+    lib = _load()
+    src = np.ascontiguousarray(src).reshape(-1)
+    cap = lib.sn_framed_max_length(n, chunk_size)
+    if cap < 0:
+        _raise(int(cap))
+    dst = np.empty(int(cap), np.uint8)
+    crcp = None
+    if crcs is not None:
+        crcs = np.ascontiguousarray(crcs).astype(np.uint32, copy=False)
+        crcp = crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    rlp = None
+    if rec_lens is not None:
+        rlp = rec_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    rc = lib.sn_compress_framed_crc(
+        _as_u8p(src), n, _as_u8p(dst), chunk_size, threads, crcp, rlp,
+        1 if write_id else 0)
     if rc < 0:
         _raise(int(rc))
     return dst[:rc].tobytes()

@@ -789,12 +789,26 @@ int64_t sn_framed_max_length(uint64_t n, uint64_t chunk) {
   return 10 + (uint64_t)(n + chunks * (8 + 8) + 64);
 }
 
-int64_t sn_compress_framed(const uint8_t* src, uint64_t n, uint8_t* dst,
-                           uint64_t chunk_size, int threads) {
+// Shared body of sn_compress_framed / sn_compress_framed_crc.
+// crcs: optional per-chunk RAW CRC-32C values (e.g. computed on the
+// TPU's MXU before the bytes left HBM) — masked here; when null the
+// host computes them.  rec_lens: optional per-chunk framed-record
+// lengths (header+crc+body) so callers can split the concatenated
+// output back into records (the multi-host assembly contract).
+// write_id: emit the 10-byte stream identifier (0 lets per-batch
+// calls concatenate into one stream — framed chunks are independent).
+static int64_t compress_framed_impl(const uint8_t* src, uint64_t n,
+                                    uint8_t* dst, uint64_t chunk_size,
+                                    int threads, const uint32_t* crcs,
+                                    uint64_t* rec_lens, int write_id) {
   if (chunk_size == 0 || chunk_size > 65536) return SN_ERR_BUFFER;
   uint64_t nchunks = n ? (n + chunk_size - 1) / chunk_size : 0;
-  memcpy(dst, kStreamId, 10);
-  if (!nchunks) return 10;
+  uint64_t hdr = 0;
+  if (write_id) {
+    memcpy(dst, kStreamId, 10);
+    hdr = 10;
+  }
+  if (!nchunks) return (int64_t)hdr;
 
   // worst case per chunk body: 8 hdr + max_compressed(chunk)
   uint64_t per = 8 + sn_max_compressed_length(chunk_size);
@@ -846,8 +860,10 @@ int64_t sn_compress_framed(const uint8_t* src, uint64_t n, uint8_t* dst,
             len2 <= (uint64_t)kMaxBlockSize) {
           uint8_t* outA = scratch.data() + c * per + 8;
           uint8_t* outB = scratch.data() + c2 * per + 8;
-          uint32_t crcA = mask_crc(sn_crc32c(src + off, len, 0));
-          uint32_t crcB = mask_crc(sn_crc32c(src + off2, len2, 0));
+          uint32_t crcA = mask_crc(crcs ? crcs[c]
+                                        : sn_crc32c(src + off, len, 0));
+          uint32_t crcB = mask_crc(crcs ? crcs[c2]
+                                        : sn_crc32c(src + off2, len2, 0));
           uint8_t* bA = put_uvarint(outA, len);
           uint8_t* bB = put_uvarint(outB, len2);
           uint8_t *eA, *eB;
@@ -862,7 +878,8 @@ int64_t sn_compress_framed(const uint8_t* src, uint64_t n, uint8_t* dst,
         uint64_t o = cc * chunk_size;
         uint64_t l = (n - o < chunk_size) ? (n - o) : chunk_size;
         uint8_t* out = scratch.data() + cc * per;
-        uint32_t crc = mask_crc(sn_crc32c(src + o, l, 0));
+        uint32_t crc = mask_crc(crcs ? crcs[cc]
+                                     : sn_crc32c(src + o, l, 0));
         int64_t comp = sn_compress(src + o, l, out + 8);
         finish(cc, o, l, comp, crc);
       }
@@ -873,12 +890,33 @@ int64_t sn_compress_framed(const uint8_t* src, uint64_t n, uint8_t* dst,
   worker();
   for (auto& t : ths) t.join();
 
-  uint8_t* d = dst + 10;
+  uint8_t* d = dst + hdr;
   for (uint64_t c = 0; c < nchunks; c++) {
     memcpy(d, scratch.data() + c * per, out_len[c]);
+    if (rec_lens) rec_lens[c] = out_len[c];
     d += out_len[c];
   }
   return (int64_t)(d - dst);
+}
+
+int64_t sn_compress_framed(const uint8_t* src, uint64_t n, uint8_t* dst,
+                           uint64_t chunk_size, int threads) {
+  return compress_framed_impl(src, n, dst, chunk_size, threads, nullptr,
+                              nullptr, 1);
+}
+
+// From-device assembly entry: same framed output as sn_compress_framed
+// but with per-chunk CRCs supplied by the caller (raw, unmasked — the
+// MXU graph's values) and the stream id optional so per-batch calls
+// concatenate.  rec_lens (optional) receives each chunk's framed
+// record length for record-oriented callers (multi-host pwrite
+// assembly).
+int64_t sn_compress_framed_crc(const uint8_t* src, uint64_t n,
+                               uint8_t* dst, uint64_t chunk_size,
+                               int threads, const uint32_t* crcs,
+                               uint64_t* rec_lens, int write_id) {
+  return compress_framed_impl(src, n, dst, chunk_size, threads, crcs,
+                              rec_lens, write_id);
 }
 
 // Two-phase framed decode: scan chunk headers (cheap), then decode

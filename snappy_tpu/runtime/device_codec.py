@@ -1036,32 +1036,16 @@ def compress_framed_from_device(arr) -> bytes:
     out = bytearray(STREAM_ID_CHUNK)
     nt = min(4, os.cpu_count() or 1)
     for rows_k, crc_k, lens_k in handles:
+        # The fetched (cnt, 64Ki) row matrix IS the contiguous chunk
+        # byte stream (every chunk but the global last is full), so
+        # the whole batch — matcher, incompressible fallback, header
+        # + CRC framing, ordered assembly — is ONE threaded C++ call;
+        # device CRCs (raw) are passed through and masked natively.
         blocks = np.asarray(rows_k)
         crcs = np.asarray(crc_k) if crc_k is not None else None
-        cnt = len(lens_k)
-        clens64 = np.zeros(cnt, np.int64)
-        hdrs64 = np.zeros(cnt, np.int64)
-        rc64 = np.zeros(cnt, np.int64)
-        elem_buf = _enc_elem_batch(cnt)
-        bad = _native.compress_batch(
-            blocks, lens_k, elem_buf[:cnt], clens64, hdrs64, rc64,
-            n_threads=nt)
-        if bad:  # pragma: no cover - sn_compress cannot fail here
-            raise SnappyError("native compressor rejected a block")
-        for i in range(cnt):
-            chunk_len = int(lens_k[i])
-            crc = (int(crcs[i]) if crcs is not None
-                   else _crc32c_host(blocks[i, :chunk_len]))
-            blob = elem_buf[i, int(hdrs64[i]):int(clens64[i])].tobytes()
-            body = put_uvarint(chunk_len) + blob
-            chunk_type = framed_chunk_type(chunk_len, len(body))
-            if chunk_type == CHUNK_UNCOMPRESSED:
-                body = blocks[i, :chunk_len].tobytes()
-            blen = len(body) + 4
-            out += bytes((chunk_type, blen & 0xFF, (blen >> 8) & 0xFF,
-                          (blen >> 16) & 0xFF))
-            out += mask_crc(crc).to_bytes(4, "little")
-            out += body
+        out += _native.compress_framed_crc(
+            blocks, int(lens_k.sum()), crcs, chunk_size=CS,
+            threads=nt, write_id=False)
     return bytes(out)
 
 

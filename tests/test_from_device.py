@@ -111,6 +111,26 @@ class TestMeshFromDevice:
         assert device_codec.decompress_framed(fr2) == data
         assert fr2 == device_codec.compress_framed(data)
 
+    def test_short_middle_row_per_record_semantics(self, rng, on_tpu):
+        """A short MIDDLE row (not just the last) must still encode
+        per-row records — the contiguous-buffer fast path only applies
+        to full middle rows, so this exercises the gated fallback."""
+        from snappy_tpu.dist import mesh as dmesh
+
+        mesh = dmesh.make_mesh()
+        n = mesh.devices.size
+        rows_np = np.zeros((n, 65536), np.uint8)
+        datas = [_mix(rng, 65536), _mix(rng, 777), _mix(rng, 65536)]
+        for i, d in enumerate(datas):
+            rows_np[i, :len(d)] = np.frombuffer(d, np.uint8)
+        lens = np.array([len(d) for d in datas], np.int32)
+        recs = dmesh.sharded_encode_rows_to_chunks(
+            mesh, jax.device_put(rows_np), lens)
+        assert len(recs) == 3
+        stream = bytes(device_codec.STREAM_ID_CHUNK) + b"".join(recs)
+        assert (device_codec.decompress_framed(stream)
+                == b"".join(datas))
+
     def test_empty_rows(self, on_tpu):
         from snappy_tpu.dist import mesh as dmesh
 

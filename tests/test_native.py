@@ -173,3 +173,43 @@ def test_into_variants_roundtrip_and_bounds():
         native.compress_framed_into(arr, small)
     with pytest.raises(ValueError):
         native.decompress_framed_into(fr_buf[:fl], small)
+
+
+def test_compress_framed_crc_entry(rng):
+    """sn_compress_framed_crc: supplied raw CRCs + no-stream-id
+    concatenation + rec_lens record splitting are all byte-compatible
+    with sn_compress_framed (the from-device assembly contract)."""
+    import numpy as np
+
+    CS = 65536
+    for size in (1, CS - 1, CS, 2 * CS + 17, int(3.5 * CS)):
+        data = bytes(make_corpus_samples(rng, sizes=(size,))[0])
+        arr = np.frombuffer(data, np.uint8)
+        ref = native.compress_framed(data)
+        # host-CRC form (crcs=None) is exactly compress_framed
+        assert native.compress_framed_crc(arr, len(data), None) == ref
+        # supplied-raw-CRC form, per-record lengths, id skipped
+        n_chunks = -(-len(data) // CS)
+        crcs = np.array(
+            [native.crc32c(data[c * CS:(c + 1) * CS])
+             for c in range(n_chunks)], np.uint32)
+        rl = np.zeros(n_chunks, np.uint64)
+        body = native.compress_framed_crc(
+            arr, len(data), crcs, write_id=False, rec_lens=rl)
+        assert ref[:10] + body == ref
+        assert int(rl.sum()) == len(body)
+        # rec_lens splits at valid chunk-record boundaries
+        offs = np.concatenate(([0], np.cumsum(rl.astype(np.int64))))
+        recs = [body[offs[i]:offs[i + 1]] for i in range(n_chunks)]
+        assert b"".join(recs) == body
+        for r in recs:
+            blen = r[1] | (r[2] << 8) | (r[3] << 16)
+            assert len(r) == 4 + blen
+    # a WRONG supplied CRC must land in the stream verbatim (masked),
+    # i.e. the entry trusts the caller — decode then flags it
+    data = bytes(make_corpus_samples(rng, sizes=(1000,))[0])
+    bad = native.compress_framed_crc(
+        np.frombuffer(data, np.uint8), len(data),
+        np.array([0xDEADBEEF], np.uint32))
+    with pytest.raises(ChecksumError):
+        native.decompress_framed(bad)
