@@ -801,6 +801,9 @@ def compress_framed_crc(src: np.ndarray, n: int,
     compress_framed(bytes) when crcs matches the data."""
     lib = _load()
     src = np.ascontiguousarray(src).reshape(-1)
+    if n > src.nbytes:
+        raise ValueError(f"n={n} exceeds source buffer ({src.nbytes})")
+    n_chunks = -(-n // chunk_size) if n else 0
     cap = lib.sn_framed_max_length(n, chunk_size)
     if cap < 0:
         _raise(int(cap))
@@ -808,9 +811,15 @@ def compress_framed_crc(src: np.ndarray, n: int,
     crcp = None
     if crcs is not None:
         crcs = np.ascontiguousarray(crcs).astype(np.uint32, copy=False)
+        if crcs.shape[0] < n_chunks:
+            raise ValueError(
+                f"crcs has {crcs.shape[0]} entries, need {n_chunks}")
         crcp = crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
     rlp = None
     if rec_lens is not None:
+        if rec_lens.dtype != np.uint64 or rec_lens.shape[0] < n_chunks:
+            raise ValueError(
+                f"rec_lens must be uint64[>={n_chunks}]")
         rlp = rec_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
     rc = lib.sn_compress_framed_crc(
         _as_u8p(src), n, _as_u8p(dst), chunk_size, threads, crcp, rlp,

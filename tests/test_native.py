@@ -213,3 +213,22 @@ def test_compress_framed_crc_entry(rng):
         np.array([0xDEADBEEF], np.uint32))
     with pytest.raises(ChecksumError):
         native.decompress_framed(bad)
+
+
+def test_compress_framed_crc_guards():
+    """The ctypes boundary validates crcs/rec_lens capacity before the
+    C++ call reads them (OOB guard)."""
+    import numpy as np
+
+    data = np.frombuffer(b"guard checks " * 20000, np.uint8)
+    n = data.nbytes
+    with pytest.raises(ValueError):
+        native.compress_framed_crc(data, n + 1, None)
+    with pytest.raises(ValueError):
+        native.compress_framed_crc(data, n, np.zeros(1, np.uint32))
+    with pytest.raises(ValueError):
+        native.compress_framed_crc(
+            data, n, None, rec_lens=np.zeros(1, np.uint64))
+    with pytest.raises(ValueError):
+        native.compress_framed_crc(
+            data, n, None, rec_lens=np.zeros(99, np.int64))
