@@ -194,6 +194,10 @@ def _load():
         lib.sn_decompress_framed.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
         ]
+        lib.sn_framed_uncompressed_length.restype = ctypes.c_int64
+        lib.sn_framed_uncompressed_length.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+        ]
         lib.sn_emit_from_cands.restype = ctypes.c_int64
         lib.sn_emit_from_cands.argtypes = [u8p, ctypes.c_uint64, i32p, u8p]
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -250,6 +254,31 @@ def _as_u8p(buf: np.ndarray):
 
 def _to_arr(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+
+
+_pybytes_api = None
+
+
+def _bytes_alloc(n: int):
+    """Uninitialized `bytes` of exact size n plus its raw buffer
+    pointer: the native decoder writes the FINAL bytes object in
+    place, eliding the np.empty + .tobytes() output copy the old
+    wrappers paid (measured ~70% of decode wall time at 256 MB).
+    CPython C-API pattern — PyBytes_FromStringAndSize(NULL, n) then
+    fill while refcount == 1, before the object is exposed."""
+    global _pybytes_api
+    if _pybytes_api is None:
+        api = ctypes.pythonapi
+        api.PyBytes_FromStringAndSize.restype = ctypes.py_object
+        api.PyBytes_FromStringAndSize.argtypes = [
+            ctypes.c_void_p, ctypes.c_ssize_t]
+        api.PyBytes_AsString.restype = ctypes.c_void_p
+        api.PyBytes_AsString.argtypes = [ctypes.py_object]
+        _pybytes_api = api
+    b = _pybytes_api.PyBytes_FromStringAndSize(None, n)
+    p = ctypes.cast(_pybytes_api.PyBytes_AsString(b),
+                    ctypes.POINTER(ctypes.c_uint8))
+    return b, p
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
@@ -488,11 +517,17 @@ def decompress(data: bytes) -> bytes:
     hdr = lib.sn_uncompressed_length(_as_u8p(src), len(data), ctypes.byref(want))
     if hdr < 0:
         _raise(hdr)
-    dst = np.empty(max(1, want.value), np.uint8)
-    rc = lib.sn_decompress(_as_u8p(src), len(data), _as_u8p(dst), want.value)
+    if want.value == 0:
+        dst = np.empty(1, np.uint8)
+        rc = lib.sn_decompress(_as_u8p(src), len(data), _as_u8p(dst), 0)
+        if rc != SN_OK:
+            _raise(rc)
+        return b""
+    out, p = _bytes_alloc(want.value)
+    rc = lib.sn_decompress(_as_u8p(src), len(data), p, want.value)
     if rc != SN_OK:
         _raise(rc)
-    return dst[: want.value].tobytes()
+    return out
 
 
 def framed_max_length(n: int, chunk_size: int = 65536) -> int:
@@ -834,17 +869,30 @@ def decompress_framed(
 ) -> bytes:
     lib = _load()
     src = _to_arr(data)
-    # worst case: all uncompressed chunks
-    cap = max(1, len(data))
-    while True:
-        dst = np.empty(cap, np.uint8)
+    # header-only scan gives the exact output size (chunk headers
+    # carry decoded lengths), so the decoder fills the final bytes
+    # object in place — no guess-and-grow, no output copy
+    want = ctypes.c_uint64(0)
+    rc = lib.sn_framed_uncompressed_length(
+        _as_u8p(src), len(data), ctypes.byref(want))
+    if rc < 0:
+        _raise(int(rc))
+    if want.value == 0:
+        dst = np.empty(1, np.uint8)
         rc = lib.sn_decompress_framed(
-            _as_u8p(src), len(data), _as_u8p(dst), cap,
-            1 if verify_checksums else 0, threads,
-        )
-        if rc == -5 and cap < (1 << 34):  # buffer too small: grow
-            cap *= 4
-            continue
+            _as_u8p(src), len(data), _as_u8p(dst), 0,
+            1 if verify_checksums else 0, threads)
         if rc < 0:
             _raise(int(rc))
-        return dst[:rc].tobytes()
+        return b""
+    out, p = _bytes_alloc(want.value)
+    rc = lib.sn_decompress_framed(
+        _as_u8p(src), len(data), p, want.value,
+        1 if verify_checksums else 0, threads)
+    if rc < 0:
+        _raise(int(rc))
+    if rc != want.value:  # pragma: no cover - scan and decode agree
+        from snappy_tpu.errors import CorruptError
+
+        raise CorruptError("framed scan/decode length disagreement")
+    return out

@@ -947,6 +947,54 @@ int64_t sn_compress_framed_crc(const uint8_t* src, uint64_t n,
                               rec_lens, write_id);
 }
 
+// Header-only scan: total uncompressed length of a framed stream
+// (chunk headers carry decoded sizes — the same property the
+// zero-collective multi-host decode rides).  Lets callers allocate
+// the EXACT destination (e.g. an uninitialized PyBytes the decoder
+// fills in place, eliding the wrapper's output copy) instead of
+// guess-and-grow.  Validates what the decode scan validates; the
+// decode itself re-validates everything it touches.
+int64_t sn_framed_uncompressed_length(const uint8_t* src, uint64_t n,
+                                      uint64_t* out_len) {
+  if (n < 10 || memcmp(src, kStreamId, 10) != 0) return SN_ERR_CORRUPT;
+  uint64_t pos = 10, out = 0;
+  while (pos < n) {
+    if (n - pos < 4) return SN_ERR_CORRUPT;
+    uint8_t type = src[pos];
+    uint64_t body = src[pos + 1] | ((uint64_t)src[pos + 2] << 8) |
+                    ((uint64_t)src[pos + 3] << 16);
+    pos += 4;
+    if (n - pos < body) return SN_ERR_CORRUPT;
+    if (type == 0xff) {
+      if (body != 6 || memcmp(src + pos, "sNaPpY", 6) != 0)
+        return SN_ERR_CORRUPT;
+      pos += body;
+      continue;
+    }
+    if (type == 0xfe || (type >= 0x80 && type <= 0xfd)) {
+      pos += body;
+      continue;
+    }
+    if (type >= 0x02 && type <= 0x7f) return SN_ERR_UNSUPPORTED;
+    if (body < 4) return SN_ERR_CORRUPT;
+    uint64_t payload_off = pos + 4, payload_len = body - 4;
+    if (type == 0x00) {
+      uint64_t want;
+      int hdr = sn_uncompressed_length(src + payload_off, payload_len,
+                                       &want);
+      if (hdr < 0) return hdr;
+      if (want > 65536) return SN_ERR_CORRUPT;
+      out += want;
+    } else {
+      if (payload_len > 65536) return SN_ERR_CORRUPT;
+      out += payload_len;
+    }
+    pos += body;
+  }
+  *out_len = out;
+  return SN_OK;
+}
+
 // Two-phase framed decode: scan chunk headers (cheap), then decode
 // chunks in parallel.
 int64_t sn_decompress_framed(const uint8_t* src, uint64_t n, uint8_t* dst,
