@@ -281,6 +281,30 @@ def _bytes_alloc(n: int):
     return b, p
 
 
+def _fill_bytes_exact(cap: int, fill) -> bytes:
+    """For producers whose final size is only known after the call
+    (compressors): allocate a worst-case uninitialized bytes, run
+    fill(ptr) -> final_len, then _PyBytes_Resize down IN PLACE
+    (realloc shrink — no output copy).  The object is held by exactly
+    one reference at resize time, as _PyBytes_Resize requires."""
+    b, p = _bytes_alloc(cap)
+    n = fill(p)
+    if n == cap:
+        return b
+    api = _pybytes_api
+    if not getattr(api, "_resize_ready", False):
+        api._PyBytes_Resize.restype = ctypes.c_int
+        api._PyBytes_Resize.argtypes = [
+            ctypes.POINTER(ctypes.py_object), ctypes.c_ssize_t]
+        api._resize_ready = True
+    holder = ctypes.py_object(b)
+    del b, p  # holder now owns the sole reference
+    rc = api._PyBytes_Resize(ctypes.byref(holder), n)
+    if rc != 0:  # pragma: no cover - shrink realloc cannot fail
+        raise MemoryError("PyBytes resize failed")
+    return holder.value
+
+
 def crc32c(data: bytes, crc: int = 0) -> int:
     lib = _load()
     arr = _to_arr(data)
@@ -302,11 +326,15 @@ def max_compressed_length(src_len: int) -> int:
 def compress(data: bytes) -> bytes:
     lib = _load()
     src = _to_arr(data)
-    dst = np.empty(int(lib.sn_max_compressed_length(len(data))) + 8, np.uint8)
-    rc = lib.sn_compress(_as_u8p(src), len(data), _as_u8p(dst))
-    if rc < 0:
-        _raise(rc)
-    return dst[:rc].tobytes()
+    cap = int(lib.sn_max_compressed_length(len(data))) + 8
+
+    def fill(p):
+        rc = lib.sn_compress(_as_u8p(src), len(data), p)
+        if rc < 0:
+            _raise(rc)
+        return int(rc)
+
+    return _fill_bytes_exact(cap, fill)
 
 
 def _i64p(a: np.ndarray):
@@ -814,11 +842,15 @@ def compress_framed(data: bytes, chunk_size: int = 65536, threads: int = 0) -> b
     cap = lib.sn_framed_max_length(len(data), chunk_size)
     if cap < 0:
         _raise(int(cap))
-    dst = np.empty(int(cap), np.uint8)
-    rc = lib.sn_compress_framed(_as_u8p(src), len(data), _as_u8p(dst), chunk_size, threads)
-    if rc < 0:
-        _raise(int(rc))
-    return dst[:rc].tobytes()
+
+    def fill(p):
+        rc = lib.sn_compress_framed(
+            _as_u8p(src), len(data), p, chunk_size, threads)
+        if rc < 0:
+            _raise(int(rc))
+        return int(rc)
+
+    return _fill_bytes_exact(int(cap), fill)
 
 
 def compress_framed_crc(src: np.ndarray, n: int,
@@ -842,7 +874,6 @@ def compress_framed_crc(src: np.ndarray, n: int,
     cap = lib.sn_framed_max_length(n, chunk_size)
     if cap < 0:
         _raise(int(cap))
-    dst = np.empty(int(cap), np.uint8)
     crcp = None
     if crcs is not None:
         crcs = np.ascontiguousarray(crcs).astype(np.uint32, copy=False)
@@ -856,12 +887,16 @@ def compress_framed_crc(src: np.ndarray, n: int,
             raise ValueError(
                 f"rec_lens must be uint64[>={n_chunks}]")
         rlp = rec_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
-    rc = lib.sn_compress_framed_crc(
-        _as_u8p(src), n, _as_u8p(dst), chunk_size, threads, crcp, rlp,
-        1 if write_id else 0)
-    if rc < 0:
-        _raise(int(rc))
-    return dst[:rc].tobytes()
+
+    def fill(p):
+        rc = lib.sn_compress_framed_crc(
+            _as_u8p(src), n, p, chunk_size, threads, crcp, rlp,
+            1 if write_id else 0)
+        if rc < 0:
+            _raise(int(rc))
+        return int(rc)
+
+    return _fill_bytes_exact(int(cap), fill)
 
 
 def decompress_framed(
