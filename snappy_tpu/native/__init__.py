@@ -281,28 +281,52 @@ def _bytes_alloc(n: int):
     return b, p
 
 
+_pybytes_raw = None
+
+
 def _fill_bytes_exact(cap: int, fill) -> bytes:
     """For producers whose final size is only known after the call
     (compressors): allocate a worst-case uninitialized bytes, run
     fill(ptr) -> final_len, then _PyBytes_Resize down IN PLACE
-    (realloc shrink — no output copy).  The object is held by exactly
-    one reference at resize time, as _PyBytes_Resize requires."""
-    b, p = _bytes_alloc(cap)
-    n = fill(p)
-    if n == cap:
-        return b
-    api = _pybytes_api
-    if not getattr(api, "_resize_ready", False):
+    (realloc shrink — no output copy).  The object lives as a RAW
+    owned pointer until after the resize: _PyBytes_Resize requires
+    refcount == 1 and may move the allocation, so no ctypes py_object
+    (whose _objects would keep — and later decref — the OLD pointer)
+    may wrap it before the resize is done."""
+    global _pybytes_raw
+    if _pybytes_raw is None:
+        api = ctypes.PyDLL(None)  # pythonapi with the GIL held
+        api.PyBytes_FromStringAndSize.restype = ctypes.c_void_p
+        api.PyBytes_FromStringAndSize.argtypes = [
+            ctypes.c_void_p, ctypes.c_ssize_t]
+        api.PyBytes_AsString.restype = ctypes.c_void_p
+        api.PyBytes_AsString.argtypes = [ctypes.c_void_p]
         api._PyBytes_Resize.restype = ctypes.c_int
         api._PyBytes_Resize.argtypes = [
-            ctypes.POINTER(ctypes.py_object), ctypes.c_ssize_t]
-        api._resize_ready = True
-    holder = ctypes.py_object(b)
-    del b, p  # holder now owns the sole reference
-    rc = api._PyBytes_Resize(ctypes.byref(holder), n)
-    if rc != 0:  # pragma: no cover - shrink realloc cannot fail
-        raise MemoryError("PyBytes resize failed")
-    return holder.value
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_ssize_t]
+        api.Py_DecRef.restype = None
+        api.Py_DecRef.argtypes = [ctypes.c_void_p]
+        _pybytes_raw = api
+    api = _pybytes_raw
+    addr = api.PyBytes_FromStringAndSize(None, cap)
+    if not addr:  # pragma: no cover - allocation failure
+        raise MemoryError
+    try:
+        p = ctypes.cast(api.PyBytes_AsString(addr),
+                        ctypes.POINTER(ctypes.c_uint8))
+        n = fill(p)
+    except BaseException:
+        api.Py_DecRef(addr)
+        raise
+    if n != cap:
+        pv = ctypes.c_void_p(addr)
+        rc = api._PyBytes_Resize(ctypes.byref(pv), n)
+        if rc != 0:  # pragma: no cover - failure consumed the object
+            raise MemoryError("PyBytes resize failed")
+        addr = pv.value
+    out = ctypes.cast(addr, ctypes.py_object).value  # increfs -> 2
+    api.Py_DecRef(addr)  # release the owned raw reference -> 1
+    return out
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:

@@ -456,6 +456,12 @@ def compress_framed(data: bytes, chunk_size: int = MAX_CHUNK_UNCOMPRESSED) -> by
     """Framed (.sz) stream via the device encoder."""
     if not 0 < chunk_size <= MAX_CHUNK_UNCOMPRESSED:
         raise ValueError(f"chunk_size must be in (0, 65536], got {chunk_size}")
+    from snappy_tpu import native as _native
+
+    if (FLAT and _pallas_enabled() and _native.available()
+            and FLAT_MODE == "id"
+            and chunk_size == MAX_CHUNK_UNCOMPRESSED and len(data)):
+        return _compress_framed_id(data, _native)
     data_v = memoryview(data)
     out = bytearray(STREAM_ID_CHUNK)
     for idx, chunk_len, blob, crc in _encode_batches(data, chunk_size):
@@ -472,6 +478,55 @@ def compress_framed(data: bytes, chunk_size: int = MAX_CHUNK_UNCOMPRESSED) -> by
         out += bytes((chunk_type, blen & 0xFF, (blen >> 8) & 0xFF, (blen >> 16) & 0xFF))
         out += checksum.to_bytes(4, "little")
         out += body
+    return bytes(out)
+
+
+def _compress_framed_id(data: bytes, _native) -> bytes:
+    """Flat v3 "id" framed compress of HOST bytes: per-batch the
+    device CRCs the uncompressed 64 KiB chunks on the MXU (dispatched
+    first, async) while the threaded C++ matcher+assembler
+    (sn_compress_framed_crc) emits the batch's framed records in one
+    call with the device CRCs passed through — the same native
+    assembly the from-device path uses, minus the D2H row fetch
+    (the bytes are already host-resident).  Byte-identical to the
+    generic per-chunk assembly path."""
+    CS = MAX_CHUNK_UNCOMPRESSED
+    data_np = np.frombuffer(data, np.uint8)
+    n = len(data)
+    n_chunks = -(-n // CS)
+    use_dev_crc = DEVICE_CRC and CS == _CRC_CHUNK
+    handles = []
+    for base in range(0, n_chunks, BATCH):
+        cnt = min(BATCH, n_chunks - base)
+        lo = base * CS
+        hi = min(n, lo + cnt * CS)
+        crc_k = None
+        if use_dev_crc:
+            if hi - lo == cnt * CS:
+                # full rows: zero-copy reshape view of the input —
+                # safe to alias under device_put (the source bytes
+                # object is immutable and outlives the transfer)
+                blocks = data_np[lo:hi].reshape(cnt, CS)
+                lens_k = np.full(cnt, CS, np.int32)
+            else:
+                blocks = np.zeros((cnt, CS), np.uint8)
+                blocks.reshape(-1)[: hi - lo] = data_np[lo:hi]
+                lens_k = np.minimum(
+                    hi - lo - np.arange(cnt, dtype=np.int64) * CS,
+                    CS).astype(np.int32)
+            crc_k = crc32c_chunks(
+                jax.device_put(blocks), jnp.asarray(lens_k))
+        handles.append((lo, hi - lo, crc_k))
+    for _lo, _nb, crc_k in handles:  # overlap the D2H drains
+        if crc_k is not None and hasattr(crc_k, "copy_to_host_async"):
+            crc_k.copy_to_host_async()
+    out = bytearray(STREAM_ID_CHUNK)
+    nt = min(4, os.cpu_count() or 1)
+    for lo, nb, crc_k in handles:
+        crcs = np.asarray(crc_k) if crc_k is not None else None
+        out += _native.compress_framed_crc(
+            data_np[lo:lo + nb], nb, crcs, chunk_size=CS,
+            threads=nt, write_id=False)
     return bytes(out)
 
 
