@@ -212,3 +212,31 @@ def test_framed_edge_inputs(monkeypatch):
 
     with pytest.raises(CorruptError):
         dc.decompress_framed(fr)
+
+
+def test_compress_framed_id_path_variants(rng, monkeypatch):
+    """The flat-v3 id native-assembly fast path must stay
+    byte-identical to the generic per-chunk assembly across its gate
+    variants: device CRC on/off, multi-batch, and the classify-mode
+    fallback to the generic path."""
+    from snappy_tpu import native
+    from snappy_tpu.spec import framing
+
+    if not native.available():
+        pytest.skip("native build unavailable")
+    data = make_corpus_samples(rng, sizes=(3 * 65536 + 777,))[0]
+    want = framing.compress_framed(data)
+
+    monkeypatch.setattr(device_codec, "FLAT_MODE", "id")
+    monkeypatch.setattr(device_codec, "_pallas_cache", True)
+    assert device_codec.compress_framed(data) == want
+    # host-CRC form (SNAPPY_TPU_DEVICE_CRC=0)
+    monkeypatch.setattr(device_codec, "DEVICE_CRC", False)
+    assert device_codec.compress_framed(data) == want
+    monkeypatch.setattr(device_codec, "DEVICE_CRC", True)
+    # multi-batch through the fast path
+    monkeypatch.setattr(device_codec, "BATCH", 2)
+    assert device_codec.compress_framed(data) == want
+    # classify mode must take the generic path and still agree
+    monkeypatch.setattr(device_codec, "FLAT_MODE", "classify")
+    assert device_codec.compress_framed(data) == want
