@@ -1101,12 +1101,14 @@ def _system_path_bench(data: bytes, repeats: int,
             # Python assembly this replaced halved the rate)
             crcs = [_crc_rows(enc_dev[k][0], dlens_dev)
                     for k in range(n_batches)]
-            for c in crcs:
-                if hasattr(c, "copy_to_host_async"):
-                    c.copy_to_host_async()
+            crc_all = jnp.concatenate(crcs)  # ONE fetch, not n_batches
+            if hasattr(crc_all, "copy_to_host_async"):
+                crc_all.copy_to_host_async()
+            crc_np = np.asarray(crc_all)
             return [
                 native.compress_framed_crc(
-                    blocks_np[k], B * BMAX, np.asarray(crcs[k]),
+                    blocks_np[k], B * BMAX,
+                    crc_np[k * B:(k + 1) * B],
                     chunk_size=BMAX, threads=n_workers, write_id=False)
                 for k in range(n_batches)
             ]

@@ -517,13 +517,21 @@ def _compress_framed_id(data: bytes, _native) -> bytes:
             crc_k = crc32c_chunks(
                 jax.device_put(blocks), jnp.asarray(lens_k))
         handles.append((lo, hi - lo, crc_k))
-    for _lo, _nb, crc_k in handles:  # overlap the D2H drains
-        if crc_k is not None and hasattr(crc_k, "copy_to_host_async"):
-            crc_k.copy_to_host_async()
+    crc_all = None
+    if use_dev_crc:
+        # ONE concatenated fetch: per-batch CRC fetches each risk the
+        # relay's sync floor
+        crc_all = jnp.concatenate([c for _lo, _nb, c in handles])
+        if hasattr(crc_all, "copy_to_host_async"):
+            crc_all.copy_to_host_async()
+    crc_np = np.asarray(crc_all) if crc_all is not None else None
     out = bytearray(STREAM_ID_CHUNK)
     nt = min(4, os.cpu_count() or 1)
-    for lo, nb, crc_k in handles:
-        crcs = np.asarray(crc_k) if crc_k is not None else None
+    done = 0
+    for lo, nb, _c in handles:
+        cnt = -(-nb // CS)
+        crcs = crc_np[done:done + cnt] if crc_np is not None else None
+        done += cnt
         out += _native.compress_framed_crc(
             data_np[lo:lo + nb], nb, crcs, chunk_size=CS,
             threads=nt, write_id=False)
@@ -1084,20 +1092,31 @@ def compress_framed_from_device(arr) -> bytes:
                 rows_k, jnp.asarray(lens_np[base:base + cnt]
                                     .astype(np.int32)))
         handles.append((rows_k, crc_k, lens_np[base:base + cnt]))
-    for rows_k, crc_k, _l in handles:  # overlap the D2H drains
-        for h in (rows_k, crc_k):
+    # ONE concatenated CRC fetch for the whole stream (each
+    # per-batch fetch risks paying the relay's sync floor); row
+    # drains still overlap per batch
+    crc_all = None
+    if use_dev_crc:
+        crc_all = jnp.concatenate([c for _r, c, _l in handles])
+    for rows_k, _c, _l in handles:  # overlap the D2H drains
+        for h in (rows_k, crc_all):
             if h is not None and hasattr(h, "copy_to_host_async"):
                 h.copy_to_host_async()
+    crc_np = np.asarray(crc_all) if crc_all is not None else None
     out = bytearray(STREAM_ID_CHUNK)
     nt = min(4, os.cpu_count() or 1)
-    for rows_k, crc_k, lens_k in handles:
+    done = 0
+    for rows_k, _c, lens_k in handles:
         # The fetched (cnt, 64Ki) row matrix IS the contiguous chunk
         # byte stream (every chunk but the global last is full), so
         # the whole batch — matcher, incompressible fallback, header
         # + CRC framing, ordered assembly — is ONE threaded C++ call;
         # device CRCs (raw) are passed through and masked natively.
         blocks = np.asarray(rows_k)
-        crcs = np.asarray(crc_k) if crc_k is not None else None
+        cnt = len(lens_k)
+        crcs = (crc_np[done:done + cnt]
+                if crc_np is not None else None)
+        done += cnt
         out += _native.compress_framed_crc(
             blocks, int(lens_k.sum()), crcs, chunk_size=CS,
             threads=nt, write_id=False)
