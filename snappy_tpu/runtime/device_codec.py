@@ -502,18 +502,24 @@ def _compress_framed_id(data: bytes, _native) -> bytes:
         hi = min(n, lo + cnt * CS)
         crc_k = None
         if use_dev_crc:
-            if hi - lo == cnt * CS:
-                # full rows: zero-copy reshape view of the input —
-                # safe to alias under device_put (the source bytes
-                # object is immutable and outlives the transfer)
+            if cnt == BATCH and hi - lo == cnt * CS:
+                # full batch of full rows: zero-copy reshape view of
+                # the input — safe to alias under device_put (the
+                # source bytes object is immutable and outlives the
+                # transfer)
                 blocks = data_np[lo:hi].reshape(cnt, CS)
                 lens_k = np.full(cnt, CS, np.int32)
             else:
-                blocks = np.zeros((cnt, CS), np.uint8)
+                # always dispatch full-BATCH rows: a ragged tail
+                # would compile a second executable per distinct
+                # tail size (same rule as _encode_batches)
+                blocks = np.zeros((BATCH, CS), np.uint8)
                 blocks.reshape(-1)[: hi - lo] = data_np[lo:hi]
-                lens_k = np.minimum(
-                    hi - lo - np.arange(cnt, dtype=np.int64) * CS,
-                    CS).astype(np.int32)
+                lens_k = np.zeros(BATCH, np.int32)
+                lens_k[:cnt] = np.minimum(
+                    hi - lo - np.arange(cnt, dtype=np.int64) * CS, CS)
+            # keep the full-BATCH vector on device (a [:cnt] slice
+            # would compile per distinct tail size); trim on host
             crc_k = crc32c_chunks(
                 jax.device_put(blocks), jnp.asarray(lens_k))
         handles.append((lo, hi - lo, crc_k))
@@ -527,11 +533,11 @@ def _compress_framed_id(data: bytes, _native) -> bytes:
     crc_np = np.asarray(crc_all) if crc_all is not None else None
     out = bytearray(STREAM_ID_CHUNK)
     nt = min(4, os.cpu_count() or 1)
-    done = 0
-    for lo, nb, _c in handles:
+    for k, (lo, nb, _c) in enumerate(handles):
         cnt = -(-nb // CS)
-        crcs = crc_np[done:done + cnt] if crc_np is not None else None
-        done += cnt
+        # each batch contributed a full-BATCH CRC vector; trim here
+        crcs = (crc_np[k * BATCH:k * BATCH + cnt]
+                if crc_np is not None else None)
         out += _native.compress_framed_crc(
             data_np[lo:lo + nb], nb, crcs, chunk_size=CS,
             threads=nt, write_id=False)
