@@ -42,6 +42,7 @@ __all__ = [
     "decompress_to_device",
     "decompress_framed_to_device",
     "compress_framed_from_device",
+    "compress_from_device",
     "__version__",
 ]
 
@@ -53,7 +54,8 @@ def __getattr__(name):
                 "decompress_framed", "decompress_into",
                 "decompress_framed_into", "decompress_to_device",
                 "decompress_framed_to_device",
-                "compress_framed_from_device"):
+                "compress_framed_from_device",
+                "compress_from_device"):
         from snappy_tpu import api
 
         return getattr(api, name)

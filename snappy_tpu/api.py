@@ -187,3 +187,16 @@ def compress_framed_from_device(arr) -> bytes:
     from snappy_tpu.runtime import device_codec
 
     return device_codec.compress_framed_from_device(arr)
+
+
+def compress_from_device(arr) -> bytes:
+    """Compress a DEVICE-RESIDENT uint8 jax.Array into a RAW Snappy
+    stream.  The raw block format carries no checksums, so unlike the
+    framed direction there is no MXU CRC to fuse — this is a D2H
+    fetch feeding the threaded host encoder, provided so the
+    to/from-device API matrix is complete in both formats (the framed
+    form is the production from-device path).  Byte-identical to
+    compress(bytes(arr))."""
+    from snappy_tpu.runtime import device_codec
+
+    return device_codec.compress_from_device(arr)

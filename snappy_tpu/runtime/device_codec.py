@@ -1129,6 +1129,26 @@ def compress_framed_from_device(arr) -> bytes:
     return bytes(out)
 
 
+def compress_from_device(arr) -> bytes:
+    """RAW-format counterpart of compress_framed_from_device.  The raw
+    block format has no checksums (spec §8.1), so there is no device
+    CRC to fuse — the chip's only contribution would be the D2H fetch
+    itself.  Documented division of labour: fetch the array once,
+    then the threaded host encoder (the same interleaved matcher the
+    framed path uses) emits the stream.  Byte-identical to
+    compress(bytes(arr)) under the production (native) engine; exists
+    so the to/from-device API matrix is complete in both formats."""
+    if arr.dtype != jnp.uint8:
+        raise ValueError(f"expected uint8 array, got {arr.dtype}")
+    arr = arr.reshape(-1)
+    from snappy_tpu import native as _native
+
+    host = np.asarray(arr)
+    if _native.available():
+        return _native.compress(host.tobytes())
+    return compress(host.tobytes())
+
+
 def stage_id_rows(src_arr: np.ndarray, grp, b_u8: np.ndarray,
                   dlens: np.ndarray, want: np.ndarray) -> None:
     """Id-stage one group of scanned framed chunks into staging rows

@@ -180,3 +180,21 @@ def test_from_device_generator_fuzz(rng, on_tpu):
         fr = device_codec.compress_framed_from_device(arr)
         assert device_codec.decompress_framed(fr) == data, (t, kind)
         assert fr == device_codec.compress_framed(data), (t, kind)
+
+
+def test_compress_from_device_raw(rng, on_tpu):
+    """Raw-format from-device encode: byte-identical to the production
+    host encoder, round-trips, dtype-guarded; completes the
+    to/from-device API matrix (framed has CRC-on-MXU; raw has no
+    checksum so the documented division is fetch + host encode)."""
+    import snappy_tpu
+
+    for size in (1, 65535, 65536, 65537, 200_000):
+        data = _mix(rng, size)
+        arr = jax.device_put(np.frombuffer(data, np.uint8))
+        got = snappy_tpu.compress_from_device(arr)
+        assert snappy_tpu.decompress(got) == data
+        assert got == snappy_tpu.compress(data)
+    with pytest.raises(ValueError):
+        snappy_tpu.compress_from_device(
+            jax.device_put(np.zeros(4, np.int32)))
