@@ -10,9 +10,10 @@ Layers (SURVEY.md §7.1):
 
 Public API (L4): compress / decompress (raw block format),
 compress_framed / decompress_framed (.sz framed format), and the
-device-resident pair decompress_to_device /
+device-resident matrix decompress_to_device /
 decompress_framed_to_device (decode-to-HBM data loading) and
-compress_framed_from_device (HBM array -> framed bytes, CRC on MXU).
+compress_from_device / compress_framed_from_device (HBM array ->
+stream; the framed form computes per-chunk CRC-32C on the MXU).
 """
 
 from snappy_tpu.errors import (
